@@ -1,0 +1,132 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from osm_merge_spark import geometry as G
+
+
+def test_wkt_roundtrip():
+    s = pd.Series(
+        [
+            "POINT(-105.5 40.25)",
+            "LINESTRING(-105 40,-104.99 40.01,-104.98 40.015)",
+            "POLYGON((-105 40,-104.9 40,-104.9 40.1,-105 40.1,-105 40))",
+            None,
+            "",
+        ]
+    )
+    kinds, offsets, flat = G.parse_wkt(s)
+    assert kinds.tolist() == [G.KIND_POINT, G.KIND_LINESTRING, G.KIND_POLYGON, 0, 0]
+    assert np.diff(offsets).tolist() == [1, 3, 5, 0, 0]
+    assert flat[0].tolist() == [-105.5, 40.25]
+    out = G.format_wkt(kinds, offsets, flat)
+    kinds2, offsets2, flat2 = G.parse_wkt(out)
+    assert np.array_equal(kinds[:3], kinds2[:3])
+    assert np.allclose(flat, flat2)
+
+
+def test_haversine_known():
+    # ~1 deg lat = ~111.19 km
+    d = G.haversine_m(0.0, 0.0, 0.0, 1.0)
+    assert d == pytest.approx(111_195, rel=1e-3)
+
+
+def test_min_dist_pair_points():
+    A = G.pad_ragged(np.array([0, 1]), np.array([[-105.0, 40.0]]))
+    B = G.pad_ragged(np.array([0, 1]), np.array([[-105.0, 40.001]]))
+    d = G.min_dist_pair_m(A, B)
+    assert d[0] == pytest.approx(110.54, rel=1e-2)
+
+
+def test_min_dist_parallel_lines():
+    # two parallel E-W lines 0.0001 deg apart in lat (~11m)
+    a = np.array([[-105.0, 40.0], [-104.99, 40.0]])
+    b = np.array([[-105.0, 40.0001], [-104.99, 40.0001]])
+    A = G.pad_ragged(np.array([0, 2]), a)
+    B = G.pad_ragged(np.array([0, 2]), b)
+    d = G.min_dist_pair_m(A, B)
+    assert d[0] == pytest.approx(11.05, rel=1e-2)
+
+
+def test_min_dist_crossing_lines_zero():
+    a = np.array([[-105.0, 40.0], [-104.99, 40.01]])
+    b = np.array([[-105.0, 40.01], [-104.99, 40.0]])
+    A = G.pad_ragged(np.array([0, 2]), a)
+    B = G.pad_ragged(np.array([0, 2]), b)
+    assert G.min_dist_pair_m(A, B)[0] == 0.0
+
+
+def test_min_dist_mixed_batch_padding():
+    # batch of 2 pairs with different vertex counts
+    flat_a = np.array([[-105.0, 40.0], [-104.99, 40.0], [-104.98, 40.0], [0.0, 0.0]])
+    off_a = np.array([0, 3, 4])
+    flat_b = np.array([[-104.995, 40.0005], [0.001, 0.0]])
+    off_b = np.array([0, 1, 2])
+    A = G.pad_ragged(off_a, flat_a)
+    B = G.pad_ragged(off_b, flat_b)
+    d = G.min_dist_pair_m(A, B)
+    assert d[0] == pytest.approx(55.3, rel=2e-2)  # 0.0005 deg lat ~= 55m
+    assert d[1] == pytest.approx(111.3, rel=2e-2)  # 0.001 deg lon at equator
+
+
+def test_endpoint_slope_angle():
+    # identical direction → angle 0
+    a = np.array([[-105.0, 40.0], [-104.9, 40.1]])
+    b = np.array([[-105.0, 40.001], [-104.9, 40.101]])
+    A = G.pad_ragged(np.array([0, 2]), a)
+    B = G.pad_ragged(np.array([0, 2]), b)
+    dslope, ang = G.endpoint_slope_angle(A, B)
+    assert ang[0] == pytest.approx(0.0, abs=1e-6)
+    # perpendicular-ish → large angle
+    c = np.array([[-105.0, 40.0], [-105.0 + 0.1, 40.0 - 0.1]])
+    C = G.pad_ragged(np.array([0, 2]), c)
+    _, ang2 = G.endpoint_slope_angle(A, C)
+    assert abs(ang2[0]) > 17.0
+
+
+def test_point_in_polygon():
+    ring = np.array([[-105, 40], [-104, 40], [-104, 41], [-105, 41], [-105, 40]], dtype=float)
+    poly = G.pad_ragged(np.array([0, 5, 10]), np.vstack([ring, ring]))
+    px = np.array([-104.5, -103.0])
+    py = np.array([40.5, 40.5])
+    inside = G.point_in_polygon(px, py, poly)
+    assert inside.tolist() == [True, False]
+
+
+def test_simplify_radial():
+    # dense nearly-colinear line: interior near-duplicate points dropped
+    t = np.linspace(0, 0.01, 50)
+    flat = np.stack([-105 + t, 40 + t], axis=1)
+    off = np.array([0, 50])
+    no, nf = G.simplify_radial(off, flat, tol_deg=1e-3)
+    assert 2 <= no[1] < 50
+    assert np.allclose(nf[0], flat[0])
+    assert np.allclose(nf[no[1] - 1], flat[-1])
+    # 2-point line survives untouched
+    off2, f2 = G.simplify_radial(np.array([0, 2]), flat[[0, -1]], tol_deg=1.0)
+    assert off2[1] == 2
+
+
+def test_polygon_area():
+    # 0.1 x 0.1 deg box at equator ~ 11132m x 11054m
+    ring = np.array([[0, 0], [0.1, 0], [0.1, 0.1], [0, 0.1], [0, 0]], dtype=float)
+    area = G.polygon_area_m2(np.array([0, 5]), ring)
+    assert area[0] == pytest.approx(11132 * 11054, rel=2e-2)
+
+
+def test_bbox_and_rect_overlap():
+    flat = np.array([[0, 0], [2, 1], [1, 3]], dtype=float)
+    bb = G.bbox_per_row(np.array([0, 3]), flat)
+    assert bb[0].tolist() == [0, 0, 2, 3]
+    a = np.array([[0, 0, 2, 2]], dtype=float)
+    b = np.array([[1, 1, 3, 3]], dtype=float)
+    assert G.rect_overlap_area(a, b)[0] == 1.0
+    b2 = np.array([[5, 5, 6, 6]], dtype=float)
+    assert G.rect_overlap_area(a, b2)[0] == 0.0
+
+
+def test_polyline_length():
+    flat = np.array([[0, 0], [0, 1], [5, 5]], dtype=float)
+    L = G.polyline_length_m(np.array([0, 2, 3]), flat)
+    assert L[0] == pytest.approx(111_195, rel=1e-3)
+    assert L[1] == 0.0
