@@ -1,0 +1,165 @@
+"""Text-analysis column functions for the training-data pipeline layer.
+
+Everything here is a JVM-side Column expression (split/filter/aggregate
+higher-order functions) — deliberately **no Python UDFs**, so the same logic
+runs in whole-stage codegen at 100 TB and has an exact ANSI-SQL twin for the
+DuckDB oracle:
+
+- tokenization + token counting (whitespace model);
+- document quality scoring (length / punctuation / stopword ratios);
+- n-gram-free language ID via per-language stopword voting;
+- polynomial rolling-hash document fingerprinting;
+- per-token polynomial hashes feeding MinHash/SimHash in ``operators.dedup``.
+
+The polynomial hash is engine-portable: ``h(s) = fold(chars, acc*31 + ord(c))
+mod (2^31-1)`` — identical results from Spark ``aggregate`` and DuckDB
+``list_reduce``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 2_147_483_647  # 2^31 - 1
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": STOPWORDS_EN,
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est", "pas", "pour", "que"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empty-string-safe (empty text → empty array)."""
+    t = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(t)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda x: F.lower(x).isin(*stopwords)))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not [a-zA-Z0-9 ]."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t)
+    clean = F.length(F.regexp_replace(t, r"[a-zA-Z0-9 ]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(clean.cast("double") / n.cast("double"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality in [0,1]: rewards mid-length docs with prose-like
+    stopword density and low punctuation noise (the usual pretraining-filter
+    shape; cf. Gopher/C4 heuristic rules — public literature)."""
+    t = F.col(text) if isinstance(text, str) else text
+    ntok = token_count(t).cast("double")
+    stop_r = F.when(ntok == 0, F.lit(0.0)).otherwise(stopword_count(t) / ntok)
+    len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    punct_pen = punct_ratio(t)
+    score = 0.4 * len_score + 0.4 * F.least(stop_r * 4.0, F.lit(1.0)) + 0.2 * (1.0 - punct_pen)
+    return F.round(score, 6)
+
+
+def lang_votes(text: Column | str, lang: str) -> Column:
+    return stopword_count(text, LANG_STOPWORDS[lang])
+
+
+def detect_lang(text: Column | str) -> Column:
+    """argmax of per-language stopword votes; ties broken by language code
+    order (deterministic); zero votes → 'und'."""
+    t = F.col(text) if isinstance(text, str) else text
+    votes = {lang: lang_votes(t, lang) for lang in sorted(LANG_STOPWORDS)}
+    best = F.greatest(*votes.values())
+    expr = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        expr = F.when((best > 0) & (votes[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Portable polynomial hashes
+# ---------------------------------------------------------------------------
+
+
+def string_poly_hash(s: Column) -> Column:
+    """fold(chars, acc*31 + ascii(c)) mod (2^31-1), engine-portable.
+
+    DuckDB twin: ``list_reduce(list_prepend(0, list_transform(split(s,''),
+    c -> ord(c))), (a, c) -> (a * 31 + c) % 2147483647)``.
+    """
+    chars = F.split(s, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
+    )
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Rolling-hash fingerprint of the whole document (dedup pre-key)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return string_poly_hash(t)
+
+
+def token_hashes(text: Column | str) -> Column:
+    """array<bigint> of per-token polynomial hashes (MinHash/SimHash input)."""
+    return F.transform(tokens(text), lambda tok: string_poly_hash(tok))
+
+
+def minhash_signature(text: Column | str, k: int = 8) -> Column:
+    """k-permutation MinHash over token hashes: min((a_i*h + b_i) mod p).
+
+    Coefficients are small deterministic literals so the DuckDB oracle can
+    reproduce them exactly. Empty docs → array of p (the hash modulus).
+    """
+    hs = token_hashes(text)
+
+    def perm(a: int, b: int):
+        return lambda h: (a * h + b) % HASH_MOD
+
+    sigs = []
+    for i in range(k):
+        a, b = 2 * i + 1, 7 * i + 3  # odd multipliers, deterministic
+        sigs.append(
+            F.coalesce(
+                F.array_min(F.transform(hs, perm(a, b))),
+                F.lit(HASH_MOD).cast("bigint"),
+            )
+        )
+    return F.array(*sigs)
+
+
+def simhash16(text: Column | str) -> Column:
+    """16-bit SimHash from token hashes: bit b set iff sum over tokens of
+    (((h>>b)&1)*2-1) > 0.  Kept to 16 bits so the oracle SQL stays readable."""
+    hs = token_hashes(text)
+
+    def voter(b: int):
+        return lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1
+
+    bits = []
+    for b in range(16):
+        vote = F.aggregate(hs, F.lit(0).cast("bigint"), voter(b))
+        bits.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for bcol in bits:
+        out = out + bcol
+    return out.cast("bigint")
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct character n-gram array (shingles) — JVM-side via sequence+substr."""
+    t = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))

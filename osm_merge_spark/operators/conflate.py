@@ -1,0 +1,326 @@
+"""The conflation core: a distance theta-join re-expressed as a Spark hash
+join on manufactured cell keys, plus scoring, best-match selection, tag merge
+and the anti-join "new features" output.
+
+Reference semantics being reproduced (SURVEY.md §2.3/§2.4):
+
+- J1 brute-force distance join      `osm_merge/conflator.py:140-224`
+- J2 pairwise min distance          `osm_merge/conflator.py:565-668`
+- J3 length-mismatch sentinel       `osm_merge/conflator.py:608-630`
+- J4 slope/angle predicate          `osm_merge/conflator.py:471-563`
+- A2-A4 hits scoring + best match   `osm_merge/conflator.py:670-792,373-419`
+- A3 candidate cap 7                `osm_merge/conflator.py:349-354`
+- J7 anti-join (new features)       `osm_merge/conflator.py:425-434`
+
+Scale design (the part the reference lacks):
+
+- cell cover is computed in one Arrow-batched pandas UDF per side — the cover
+  explode manufactures an equi-join key, so Catalyst plans a shuffled hash
+  join instead of the reference's O(N·M) loop;
+- the ring expansion needed for cross-cell near matches is applied to ONE
+  side only (the smaller, by default primary) and the ring radius is derived
+  from the threshold + zoom + latitude band (grid.ring_for_threshold);
+- hot cells are handled twice over: AQE skew-join splitting is enabled in the
+  session, and an optional explicit salt (frequency pre-pass → per-cell salt
+  factor, broadcast) splits pathological cells before the shuffle;
+- candidate pairs are deduped with a groupBy on (ext_id, way_id) *before* the
+  expensive exact kernels run, so each pair is scored once;
+- everything after the join is whole-stage-codegen Column math except the
+  geometry kernel itself (one pandas UDF over Arrow batches).
+
+The candidate order the reference leaves implementation-defined (SURVEY.md
+§7.3 risk 1) is pinned here: (hits DESC, dist ASC, way_id ASC).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .. import geometry as G
+from .. import grid
+from ..functions import tags as TG
+
+# reference defaults (`conflator.py:94,201-203,1081`; `conflatePOI.py:73`)
+DEFAULT_THRESHOLD_M = 7.0
+ANGLE_THRESHOLD_DEG = 17.0
+SLOPE_THRESHOLD = 4.0
+MATCH_RATIO = 80.0
+CANDIDATE_CAP = 7
+LENGTH_MISMATCH_M = 1000.0
+
+
+# ---------------------------------------------------------------------------
+# Cell cover / ring expansion UDFs
+# ---------------------------------------------------------------------------
+
+
+def cover_udf(zoom: int, ring: int = 0):
+    """pandas UDF: geom array<double> → array<long> covering cells
+    (optionally ring-expanded) — one vectorized pass per Arrow batch."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(geoms: pd.Series) -> pd.Series:
+        flat, offsets = G.ragged_from_arrays(geoms)
+        cells, rows = grid.cover_polyline(flat, offsets, zoom)
+        if ring > 0 and len(cells):
+            ringed = grid.k_ring(cells, ring)  # (n, (2r+1)^2)
+            rows = np.repeat(rows, ringed.shape[1])
+            cells = ringed.ravel()
+            order = np.lexsort((cells, rows))
+            rows, cells = rows[order], cells[order]
+            first = np.ones(len(rows), dtype=bool)
+            first[1:] = (rows[1:] != rows[:-1]) | (cells[1:] != cells[:-1])
+            rows, cells = rows[first], cells[first]
+        out = [[] for _ in range(len(geoms))]
+        for r, chunk in zip(*_split_runs(rows, cells)):
+            out[r] = chunk.tolist()
+        return pd.Series(out)
+
+    return _cover
+
+
+def _split_runs(rows: np.ndarray, cells: np.ndarray):
+    """Group sorted (row, cell) pairs back into per-row chunks."""
+    if len(rows) == 0:
+        return [], []
+    bounds = np.nonzero(np.diff(rows))[0] + 1
+    chunks = np.split(cells, bounds)
+    uniq = np.concatenate(([rows[0]], rows[bounds]))
+    return uniq.tolist(), chunks
+
+
+def with_cells(df: DataFrame, geom_col: str = "geom", zoom: int = grid.DEFAULT_ZOOM, ring: int = 0) -> DataFrame:
+    """Explode df to one row per covering cell (the join-key manufacture)."""
+    return df.withColumn("__cells", cover_udf(zoom, ring)(F.col(geom_col))).withColumn(
+        "cell", F.explode("__cells")
+    ).drop("__cells")
+
+
+# ---------------------------------------------------------------------------
+# Explicit salting (hot-cell split)
+# ---------------------------------------------------------------------------
+
+
+def salt_factors(cell_counts: DataFrame, hot_threshold: int = 5000, max_salt: int = 16) -> DataFrame:
+    """Frequency pre-pass → per-cell salt factor table (cells below the hot
+    threshold are absent = factor 1).  Tiny (only hot cells), broadcastable."""
+    return (
+        cell_counts.filter(F.col("cnt") > hot_threshold)
+        .select(
+            "cell",
+            F.least(F.ceil(F.col("cnt") / hot_threshold), F.lit(max_salt)).cast("int").alias("salt_n"),
+        )
+    )
+
+
+def apply_salt(big: DataFrame, small: DataFrame, salts: DataFrame, big_key: str) -> tuple[DataFrame, DataFrame]:
+    """Split hot cells: big side gets salt = hash(id) % salt_n; small side is
+    replicated across all salt values of its cell (replicate-small pattern).
+    Join key becomes (cell, salt)."""
+    b = (
+        big.join(F.broadcast(salts), "cell", "left")
+        .withColumn("salt", F.coalesce(F.pmod(F.hash(F.col(big_key)), F.col("salt_n")), F.lit(0)))
+        .drop("salt_n")
+    )
+    s = (
+        small.join(F.broadcast(salts), "cell", "left")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.coalesce(F.col("salt_n"), F.lit(1)) - 1)))
+        .drop("salt_n")
+    )
+    return b, s
+
+
+# ---------------------------------------------------------------------------
+# Pair scoring kernel (the only Python in the pipeline, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("dist", T.DoubleType()),
+        T.StructField("dslope", T.DoubleType()),
+        T.StructField("angle", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_SCORE_SCHEMA)
+def geom_score_udf(geom_a: pd.Series, geom_b: pd.Series) -> pd.DataFrame:
+    """Fused J2+J3+J4: min distance (with the length-mismatch −1.0 sentinel)
+    + endpoint slope/angle, vectorized over the whole Arrow batch."""
+    flat_a, off_a = G.ragged_from_arrays(geom_a)
+    flat_b, off_b = G.ragged_from_arrays(geom_b)
+    A = G.pad_ragged(off_a, flat_a)
+    B = G.pad_ragged(off_b, flat_b)
+    dist = G.min_dist_pair_m(A, B)
+    # J3: severe length mismatch → mutual-containment test, else sentinel -1
+    len_a = G.polyline_length_m(off_a, flat_a)
+    len_b = G.polyline_length_m(off_b, flat_b)
+    mismatch = np.abs(len_a - len_b) > LENGTH_MISMATCH_M
+    if mismatch.any():
+        # "mutually within" proxy for the reference's hull+dwithin test
+        # (`conflator.py:608-630`): bboxes mutually contained after padding
+        # by the threshold → dist 0.0, else the −1.0 reject sentinel.
+        bb_a = G.bbox_per_row(off_a, flat_a)
+        bb_b = G.bbox_per_row(off_b, flat_b)
+        pad = DEFAULT_THRESHOLD_M / 110_540.0
+        a_in_b = (
+            (bb_a[:, 0] >= bb_b[:, 0] - pad) & (bb_a[:, 1] >= bb_b[:, 1] - pad)
+            & (bb_a[:, 2] <= bb_b[:, 2] + pad) & (bb_a[:, 3] <= bb_b[:, 3] + pad)
+        )
+        b_in_a = (
+            (bb_b[:, 0] >= bb_a[:, 0] - pad) & (bb_b[:, 1] >= bb_a[:, 1] - pad)
+            & (bb_b[:, 2] <= bb_a[:, 2] + pad) & (bb_b[:, 3] <= bb_a[:, 3] + pad)
+        )
+        within = a_in_b | b_in_a
+        dist = np.where(mismatch & within, 0.0, np.where(mismatch, -1.0, dist))
+    dslope, angle = G.endpoint_slope_angle(A, B)
+    return pd.DataFrame({"dist": dist, "dslope": dslope, "angle": angle})
+
+
+# ---------------------------------------------------------------------------
+# The conflation pipeline
+# ---------------------------------------------------------------------------
+
+
+def candidate_pairs(
+    primary: DataFrame,
+    secondary: DataFrame,
+    threshold_m: float = DEFAULT_THRESHOLD_M,
+    zoom: int = grid.DEFAULT_ZOOM,
+    max_abs_lat: float = 60.0,
+    salt_hot_threshold: int | None = None,
+) -> DataFrame:
+    """Cell-join candidate generation.
+
+    primary:  (ext_id, geom, ...)   — ring-expanded side
+    secondary:(way_id, geom, ...)   — covered side
+    Returns distinct (ext_id, way_id) candidate pairs with both geoms+tags.
+    """
+    ring = grid.ring_for_threshold(threshold_m, zoom, max_abs_lat)
+    p = with_cells(primary.select("ext_id", F.col("geom").alias("geom_p"), F.col("tags").alias("tags_p")), "geom_p", zoom, ring)
+    s = with_cells(secondary.select("way_id", F.col("geom").alias("geom_s"), F.col("tags").alias("tags_s"), "version"), "geom_s", zoom, 0)
+
+    if salt_hot_threshold:
+        counts = s.groupBy("cell").agg(F.count("*").alias("cnt"))
+        salts = salt_factors(counts, hot_threshold=salt_hot_threshold)
+        s2, p2 = apply_salt(s, p, salts, big_key="way_id")
+        joined = p2.join(s2, ["cell", "salt"])
+    else:
+        joined = p.join(s, "cell")
+
+    # dedupe pairs before the expensive kernel: groupBy instead of distinct
+    # keeps only one (geom, tags) witness per pair (they are identical).
+    return joined.groupBy("ext_id", "way_id").agg(
+        F.first("geom_p").alias("geom_p"),
+        F.first("geom_s").alias("geom_s"),
+        F.first("tags_p").alias("tags_p"),
+        F.first("tags_s").alias("tags_s"),
+        F.first("version").alias("version"),
+    )
+
+
+def score_pairs(pairs: DataFrame, threshold_m: float = DEFAULT_THRESHOLD_M) -> DataFrame:
+    """Exact refine: geometry kernel + tag similarity + the reference's hits
+    scoring (`checkTags`, `conflator.py:670-792`):
+
+    hits = (dist <= threshold) + (name fuzzy ≥ 80) + (ref numbers equal)
+    with slope/angle rejection for non-matching directions.
+    """
+    scored = pairs.withColumn("g", geom_score_udf("geom_p", "geom_s")).select(
+        "*", F.col("g.dist").alias("dist"), F.col("g.dslope").alias("dslope"), F.col("g.angle").alias("angle")
+    ).drop("g")
+
+    name_p = TG.normalize_name(F.element_at("tags_p", F.lit("name")))
+    name_s = TG.normalize_name(F.element_at("tags_s", F.lit("name")))
+    ref_p = TG.ref_number(F.element_at("tags_p", F.lit("ref:usfs")))
+    ref_s = TG.ref_number(F.element_at("tags_s", F.lit("ref:usfs")))
+
+    scored = (
+        scored.withColumn(
+            "name_ratio",
+            F.when(name_p.isNotNull() & name_s.isNotNull(), F.round(TG.fuzzy_ratio(name_p, name_s), 4)).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "ref_ratio",
+            F.when(ref_p.isNotNull() & ref_s.isNotNull() & (ref_p == ref_s) & (ref_p != ""), F.lit(100.0)).otherwise(F.lit(0.0)),
+        )
+    )
+    geom_ok = (
+        (F.col("dist") >= 0)
+        & (F.col("dist") <= threshold_m)
+        & (F.col("angle") <= ANGLE_THRESHOLD_DEG)
+        & (F.col("dslope") <= SLOPE_THRESHOLD)
+    )
+    return scored.withColumn(
+        "hits",
+        geom_ok.cast("int")
+        + (F.col("name_ratio") >= MATCH_RATIO).cast("int")
+        + (F.col("ref_ratio") >= MATCH_RATIO).cast("int"),
+    ).filter(geom_ok)
+
+
+def best_matches(scored: DataFrame, cap: int = CANDIDATE_CAP) -> DataFrame:
+    """Deterministic candidate cap + best-match pick: (hits DESC, dist ASC,
+    way_id ASC), row_number ≤ cap, keep rank 1 (A2/A3 with the order pinned)."""
+    w = Window.partitionBy("ext_id").orderBy(F.desc("hits"), F.asc("dist"), F.asc("way_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def conflate(
+    primary: DataFrame,
+    secondary: DataFrame,
+    threshold_m: float = DEFAULT_THRESHOLD_M,
+    zoom: int = grid.DEFAULT_ZOOM,
+    salt_hot_threshold: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full conflation: returns (conflated, new).
+
+    conflated: ext_id, way_id, merged tags, version+1, debug columns
+               (hits, dist, dslope, angle, name_ratio, ref_ratio) — the
+               reference embeds the same debug tags (`conflator.py:247,407`).
+    new:       primary features with no candidate (anti-join), tagged
+               informal=yes / fixme (`conflator.py:425-434`).
+    """
+    pairs = candidate_pairs(primary, secondary, threshold_m, zoom, salt_hot_threshold=salt_hot_threshold)
+    scored = score_pairs(pairs, threshold_m)
+    best = best_matches(scored)
+
+    conflated = best.select(
+        "ext_id",
+        "way_id",
+        TG.merge_tags(TG.drop_junk_tags("tags_p"), TG.drop_junk_tags("tags_s")).alias("tags"),
+        (F.col("version") + 1).alias("version"),
+        F.round("dist", 2).alias("dist"),
+        F.col("hits"),
+        F.round("name_ratio", 1).alias("name_ratio"),
+        F.col("ref_ratio"),
+        F.round("dslope", 4).alias("dslope"),
+        F.round("angle", 4).alias("angle"),
+        F.col("geom_p").alias("geom"),
+    )
+
+    new = (
+        primary.join(best.select("ext_id"), "ext_id", "left_anti")
+        .withColumn(
+            "tags",
+            F.map_concat(
+                TG.drop_junk_tags("tags"),
+                F.create_map(
+                    F.lit("informal"), F.lit("yes"),
+                    F.lit("fixme"), F.lit("New features merged from an external dataset"),
+                ),
+            ),
+        )
+        .withColumn("version", F.lit(1))
+    )
+    return conflated, new
