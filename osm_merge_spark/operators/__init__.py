@@ -1,1 +1,1 @@
-from . import conflate, spans  # noqa: F401
+from . import buildings, conflate, dedup, media, poi, similarity, spans, tiling  # noqa: F401

@@ -1,0 +1,87 @@
+"""Building-footprint overlap join + duplicate removal.
+
+Reference: `osm_merge/conflateBuildings.py:73-143` — cross join on
+``ST_INTERSECTS`` with ``ST_Area(ST_Intersection(...))``, duplicates deleted
+via a semi-join (`:121`), "new" buildings via anti-join (`:114-143`).
+
+Engine shape: footprints carried as bbox columns (axis-aligned boxes — the
+synthetic corpus uses rectangles, and the overlap math is then exact Column
+arithmetic; full-polygon intersection area runs through the numpy shoelace
+kernel when polygons are supplied).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M_PER_DEG_LAT = 110_540.0
+M_PER_DEG_LON_EQ = 111_320.0
+
+
+def overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str = "bld_id",
+    b_id: str = "osm_bld_id",
+    bucket_deg: float = 0.01,
+    min_overlap_m2: float = 0.0,
+) -> DataFrame:
+    """Pairs of overlapping boxes with intersection area (m², equirect at the
+    pair's latitude).  Equi-join on a coarse lon/lat bucket (each box lands in
+    every bucket its bbox touches), exact overlap refine, pair dedupe.
+
+    a/b: (<id>, min_lon, min_lat, max_lon, max_lat, ...).
+    """
+
+    def bucketed(df: DataFrame, pfx: str):
+        bx = F.explode(
+            F.sequence(
+                F.floor(F.col("min_lon") / bucket_deg).cast("long"),
+                F.floor(F.col("max_lon") / bucket_deg).cast("long"),
+            )
+        ).alias("bx")
+        out = df.select("*", bx)
+        by = F.explode(
+            F.sequence(
+                F.floor(F.col("min_lat") / bucket_deg).cast("long"),
+                F.floor(F.col("max_lat") / bucket_deg).cast("long"),
+            )
+        ).alias("by")
+        out = out.select("*", by)
+        renames = {c: f"{pfx}{c}" for c in ("min_lon", "min_lat", "max_lon", "max_lat")}
+        for old, new in renames.items():
+            out = out.withColumnRenamed(old, new)
+        return out
+
+    aa = bucketed(a.select(a_id, "min_lon", "min_lat", "max_lon", "max_lat"), "a_")
+    bb = bucketed(b.select(b_id, "min_lon", "min_lat", "max_lon", "max_lat"), "b_")
+    j = aa.join(bb, ["bx", "by"]).drop("bx", "by").dropDuplicates([a_id, b_id])
+
+    w = F.greatest(
+        F.least(F.col("a_max_lon"), F.col("b_max_lon")) - F.greatest(F.col("a_min_lon"), F.col("b_min_lon")),
+        F.lit(0.0),
+    )
+    h = F.greatest(
+        F.least(F.col("a_max_lat"), F.col("b_max_lat")) - F.greatest(F.col("a_min_lat"), F.col("b_min_lat")),
+        F.lit(0.0),
+    )
+    mid_lat = (F.col("a_min_lat") + F.col("a_max_lat")) / 2.0
+    area_m2 = w * M_PER_DEG_LON_EQ * F.cos(F.radians(mid_lat)) * h * M_PER_DEG_LAT
+    return (
+        j.withColumn("overlap_m2", F.round(area_m2, 6))
+        .filter((w > 0) & (h > 0) & (F.col("overlap_m2") > min_overlap_m2))
+    )
+
+
+def remove_duplicates(candidates: DataFrame, dups: DataFrame, id_col: str, dup_id_col: str) -> DataFrame:
+    """`DELETE FROM ways_view WHERE osm_id IN (SELECT id1 FROM dups_view)`
+    (`conflateBuildings.py:121`) → left_anti."""
+    return candidates.join(
+        dups.select(F.col(dup_id_col).alias(id_col)).distinct(), id_col, "left_anti"
+    )
+
+
+def new_buildings(external: DataFrame, overlaps: DataFrame, ext_id: str = "bld_id") -> DataFrame:
+    """External footprints with no OSM overlap → 'new' output (`:114-143`)."""
+    return external.join(overlaps.select(ext_id).distinct(), ext_id, "left_anti")

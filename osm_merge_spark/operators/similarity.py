@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale doctrine:
+
+- ``cosine_topk_bruteforce`` — exact baseline: probe×target join with a
+  JVM-side dot product (``aggregate(zip_with(...))`` — whole-stage codegen,
+  no Python), window top-k.  Right answer, O(P·T) — use when one side is
+  small/broadcastable.
+- ``lsh_topk`` — the scale path: random-hyperplane LSH buckets (deterministic
+  coefficients) as the manufactured equi-join key; probes only score
+  targets sharing a bucket.  Recall < 1 by construction; bucket count and
+  hyperplane count trade recall vs cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<float|double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+
+
+def cosine_topk_bruteforce(
+    probes: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    probe_id: str = "probe_id",
+    target_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors (excluding self-pairs when ids collide)."""
+    p = probes.select(F.col(probe_id), F.col(vec_col).alias("p_vec"))
+    t = targets.select(F.col(target_id), F.col(vec_col).alias("t_vec"))
+    j = p.crossJoin(t).filter(F.col(probe_id) != F.col(target_id))
+    j = j.withColumn("cos_sim", F.round(cosine(F.col("p_vec"), F.col("t_vec")), 6))
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos_sim"), F.asc(target_id))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, target_id, "cos_sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, h: int, table: int = 0) -> list[float]:
+    """Deterministic pseudo-random hyperplane coefficients — reproducible in
+    ANSI SQL: c_j = (((h + table*97)*31 + j*17 + table*7) % 13) - 6."""
+    s = h + table * 97
+    return [float(((s * 31 + j * 17 + table * 7) % 13) - 6) for j in range(dim)]
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, table: int = 0) -> Column:
+    """Sign-concatenation bucket id from n random hyperplanes (bigint)."""
+    out = F.lit(0).cast("bigint")
+    for h in range(n_planes):
+        coefs = _hyperplane(dim, h, table)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in coefs]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out * 2 + F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_buckets(vec: Column, dim: int, n_planes: int, n_tables: int) -> Column:
+    """array of (table<<60 | bucket) ids — one per hash table.  Multiple
+    independent tables are the standard recall lever for hyperplane LSH."""
+    return F.array(
+        *[
+            (F.lit(t * (1 << 60)).cast("bigint") + lsh_bucket(vec, dim, n_planes, t))
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_topk(
+    probes: DataFrame,
+    targets: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_id: str = "probe_id",
+    target_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket equi-join (n_tables independent LSH tables)
+    then exact cosine within bucket; pair deduped across tables."""
+    p = probes.select(F.col(probe_id), F.col(vec_col).alias("p_vec")).withColumn(
+        "bucket", F.explode(lsh_buckets(F.col("p_vec"), dim, n_planes, n_tables))
+    )
+    t = targets.select(F.col(target_id), F.col(vec_col).alias("t_vec")).withColumn(
+        "bucket", F.explode(lsh_buckets(F.col("t_vec"), dim, n_planes, n_tables))
+    )
+    j = (
+        p.join(t, "bucket")
+        .filter(F.col(probe_id) != F.col(target_id))
+        .dropDuplicates([probe_id, target_id])
+    )
+    j = j.withColumn("cos_sim", F.round(cosine(F.col("p_vec"), F.col("t_vec")), 6))
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos_sim"), F.asc(target_id))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, target_id, "cos_sim", "rank")
+    )
