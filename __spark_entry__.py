@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship conflation lifecycle over the interleaved spans
+table at sf0.001; ``queries``/``oracle_sql`` expose every implemented
+operator from SURVEY.md §2 with DuckDB-checkable oracles (see
+``osm_merge_spark/queries.py`` for the registry).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: decode the interleaved
+    spans table → conflate external ways into it → re-encode spans with
+    debug tags appended (the full §3.1 lifecycle)."""
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.operators import conflate as C
+    from osm_merge_spark.operators import spans as SP
+    from osm_merge_spark.sources import synth
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = synth.documents_spans(spark, sf_dir)
+    feats = SP.spans_to_features(docs)
+    secondary = feats.select(
+        F.regexp_replace("doc_id", "doc-", "").cast("bigint").alias("way_id"),
+        "geom",
+        "tags",
+        F.lit(1).alias("version"),
+        "doc_id",
+        "spans",
+    )
+    primary = synth.external_ways(spark, sf_dir)
+    conflated, _new = C.conflate(primary, secondary)
+    # re-attach provenance spans and emit with debug tags appended
+    out = conflated.join(secondary.select("way_id", "doc_id", "spans"), "way_id")
+    return SP.features_to_spans(out, extra_tag_cols=["hits", "dist"]).join(
+        out.select("doc_id", "ext_id", "way_id", "hits", "dist"), "doc_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osm_merge_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm_merge_spark.queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

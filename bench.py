@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+
+  {"metric": "conflated features/sec", "value": N, "unit": "sec"-per-query
+   map in "queries", "sf": ..., "rate_n8"/"rate_n32"/"scaling_efficiency"}
+
+The scaling section evidences the north rule (≥0.8 efficiency from N→4N
+executors) with the sandbox proxy BASELINE.md specifies: the same conflation
+job at local[8] vs local[32], run in fresh subprocesses so each gets a clean
+JVM.  Set SPARK_GRAFT_SKIP_SCALING=1 to skip that section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("osm-merge-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def run_conflation(spark, sf_dir: str) -> tuple[int, float]:
+    """The headline job: full conflation, returns (conflated rows, seconds)."""
+    from osm_merge_spark.operators import conflate as C
+    from osm_merge_spark.sources import synth
+
+    t0 = time.time()
+    conflated, new = C.conflate(
+        synth.external_ways(spark, sf_dir), synth.osm_ways(spark, sf_dir)
+    )
+    n = conflated.count() + new.count()
+    return n, time.time() - t0
+
+
+def scaling_worker(cores: int) -> None:
+    spark = build_spark(cores)
+    n, secs = run_conflation(spark, SF_DIR)
+    print(json.dumps({"cores": cores, "rows": n, "secs": secs, "rate": n / secs}))
+    spark.stop()
+
+
+def run_scaling() -> dict:
+    out = {}
+    for cores in (8, 32):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
+            capture_output=True, text=True, timeout=3600,
+            env={**os.environ, "SPARK_GRAFT_SKIP_SCALING": "1"},
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        out[cores] = json.loads(line)
+    eff = (out[32]["rate"] / out[8]["rate"]) / (32 / 8)
+    return {
+        "rate_n8": round(out[8]["rate"], 1),
+        "rate_n32": round(out[32]["rate"], 1),
+        "secs_n8": round(out[8]["secs"], 2),
+        "secs_n32": round(out[32]["secs"], 2),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+HEADLINE = [
+    "q_conflate_flagship",
+    "q_knn_join",
+    "q_tile_assign",
+    "q_minhash_band_pairs",
+    "q_cosine_topk",
+    "q_text_stats",
+    "q_span_signature",
+    "q_building_overlap",
+    "q_dedup_exact",
+    "q_cell_histogram",
+]
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scaling-worker":
+        scaling_worker(int(sys.argv[2]))
+        return
+
+    from osm_merge_spark.queries import REGISTRY
+
+    spark = build_spark(CPUS)
+    timings: dict[str, float] = {}
+
+    n_conflated, conflate_secs = run_conflation(spark, SF_DIR)
+    timings["q_conflate_flagship"] = round(conflate_secs, 3)
+
+    for name in HEADLINE:
+        if name == "q_conflate_flagship":
+            continue
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    result = {
+        "metric": "conflated features/sec on synthetic OSM+external merge corpus",
+        "value": round(n_conflated / conflate_secs, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "conflated_rows": n_conflated,
+    }
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        try:
+            result.update(run_scaling())
+        except Exception as e:  # scaling evidence is additive, never fatal
+            result["scaling_error"] = str(e)[:200]
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1078 @@
+"""The engine's query registry: every SURVEY.md §2 operator exposed as a
+(spark_fn, oracle_sql) pair for the driver's DuckDB correctness gate.
+
+Each entry ``NAME: (fn, sql)`` where ``fn(spark, sf_dir) -> DataFrame`` runs
+the operator through the real engine code and ``sql`` is the ANSI twin DuckDB
+executes over the same parquet views.  ``sql=None`` marks genuinely
+non-SQL-expressible ops (rows-only check).
+
+Conventions for hash-exact parity:
+- every computed double is rounded identically on both sides;
+- geo inputs are *derived* from the relational tables with pure integer/
+  float arithmetic reproduced verbatim in the SQL;
+- column names alias-matched one-for-one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import tags as TG
+from .functions import text as TX
+from .operators import buildings as B
+from .operators import conflate as C
+from .operators import dedup as D
+from .operators import media as M
+from .operators import poi as P
+from .operators import similarity as S
+from .operators import spans as SP
+from .operators import tiling as TL
+from .sources import synth
+
+Entry = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+REGISTRY: dict[str, Entry] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Derived geo points (shared by several queries; SQL twin in _PT_SQL)
+# ---------------------------------------------------------------------------
+
+
+def customer_points(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        (F.lit(-109.0) + F.pmod(F.col("c_custkey"), F.lit(500)) * 0.01).alias("lon"),
+        (F.lit(37.0) + F.pmod(F.col("c_custkey") * 7, F.lit(350)) * 0.01).alias("lat"),
+    )
+
+
+CUST_PT_SQL = """
+SELECT c_custkey, c_nationkey,
+       -109.0 + (c_custkey % 500) * 0.01 AS lon,
+       37.0 + ((c_custkey * 7) % 350) * 0.01 AS lat
+FROM customer
+"""
+
+
+def supplier_points(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        (F.lit(-109.0) + F.pmod(F.col("s_suppkey") * 13, F.lit(500)) * 0.01
+         + F.pmod(F.col("s_suppkey"), F.lit(7)) * 0.001).alias("lon"),
+        (F.lit(37.0) + F.pmod(F.col("s_suppkey") * 11, F.lit(350)) * 0.01
+         + F.pmod(F.col("s_suppkey"), F.lit(5)) * 0.001).alias("lat"),
+    )
+
+
+SUPP_PT_SQL = """
+SELECT s_suppkey, s_nationkey,
+       -109.0 + ((s_suppkey * 13) % 500) * 0.01 + (s_suppkey % 7) * 0.001 AS lon,
+       37.0 + ((s_suppkey * 11) % 350) * 0.01 + (s_suppkey % 5) * 0.001 AS lat
+FROM supplier
+"""
+
+HAVERSINE_SQL = (
+    "2 * 6371008.8 * asin(sqrt(least(1.0, "
+    "pow(sin(radians({lat2} - {lat1}) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians({lon2} - {lon1}) / 2), 2))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 — tag-key / value-whitelist filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tag_filter",
+    """
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    ORDER BY event_id
+    """,
+)
+def q_tag_filter(spark, sf_dir):
+    """P1/P2: value-whitelist filter (`osmhighways.py:348-366`) as a pushed-
+    down Column predicate."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — junk-tag projection via the real map_filter path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_junk_tag_drop",
+    """
+    SELECT doc_id, 'lang=' || lang || '|source=' || source AS tag_sig
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_junk_tag_drop(spark, sf_dir):
+    """P3: build a tags map (with tiger junk on doc_id%4==0 rows), drop junk
+    with the engine's map_filter, emit a sorted signature string."""
+    d = _t(spark, sf_dir, "documents")
+    tags = F.map_concat(
+        F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+            F.create_map(F.lit("tiger:cfcc"), F.lit("A41"), F.lit("_FID"), F.lit("x")),
+        ).otherwise(F.create_map().cast("map<string,string>")),
+    )
+    clean = TG.drop_junk_tags(tags)
+    entries = F.array_sort(
+        F.transform(F.map_entries(clean), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+    )
+    return d.select("doc_id", F.concat_ws("|", entries).alias("tag_sig")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# P8 — schema-map projection (name normalization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_schema_map_name",
+    r"""
+    SELECT p_partkey,
+           array_to_string(
+             list_transform(
+               string_split(regexp_replace(trim(p_name), '\s+', ' ', 'g'), ' '),
+               w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))
+             ), ' ') AS name_norm
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q_schema_map_name(spark, sf_dir):
+    """P8: converter-style name normalization (initcap + space collapse),
+    the `mvum.py:150-166` transform through the engine function."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", TG.normalize_name(F.col("p_name")).alias("name_norm")
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# P9 — opening-hours conversion
+# ---------------------------------------------------------------------------
+
+_MONTH_SQL = "CASE {m} " + " ".join(
+    f"WHEN {i} THEN '{n}'" for i, n in enumerate(
+        ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"], 1
+    )
+) + " END"
+
+
+@register(
+    "q_opening_hours",
+    f"""
+    WITH src AS (
+      SELECT o_orderkey,
+             lpad(CAST(month(o_orderdate) AS VARCHAR),2,'0') || '/01-' ||
+             lpad(CAST((o_orderkey % 12) + 1 AS VARCHAR),2,'0') || '/28' AS date_range
+      FROM orders
+    )
+    SELECT o_orderkey, date_range,
+           {_MONTH_SQL.format(m="CAST(substr(date_range,1,2) AS INT)")} || '-' ||
+           {_MONTH_SQL.format(m="CAST(substr(date_range,7,2) AS INT)")} AS opening_hours,
+           CASE WHEN {_MONTH_SQL.format(m="CAST(substr(date_range,1,2) AS INT)")} = 'Jan'
+                 AND {_MONTH_SQL.format(m="CAST(substr(date_range,7,2) AS INT)")} = 'Dec'
+                THEN 'no' ELSE 'yes' END AS seasonal
+    FROM src ORDER BY o_orderkey
+    """,
+)
+def q_opening_hours(spark, sf_dir):
+    """P9: "MM/DD-MM/DD" → "Mon-Mon" + seasonal flag (`mvum.py:69-109`)."""
+    o = _t(spark, sf_dir, "orders")
+    dr = F.concat(
+        F.lpad(F.month("o_orderdate").cast("string"), 2, "0"),
+        F.lit("/01-"),
+        F.lpad((F.pmod(F.col("o_orderkey"), F.lit(12)) + 1).cast("string"), 2, "0"),
+        F.lit("/28"),
+    )
+    return o.select(
+        "o_orderkey",
+        dr.alias("date_range"),
+        TG.opening_hours(dr).alias("opening_hours"),
+        TG.is_seasonal(dr).alias("seasonal"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Cell index — mercator tile assignment + histogram (salt-map pre-pass)
+# ---------------------------------------------------------------------------
+
+_TILE_SQL = """
+WITH pts AS ({pts}),
+cells AS (
+  SELECT *,
+    CAST(floor((lon + 180.0) / 360.0 * 4096) AS BIGINT) AS cx,
+    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 4096) AS BIGINT) AS cy
+  FROM pts
+)
+SELECT cx, cy, count(*) AS cnt
+FROM cells GROUP BY cx, cy ORDER BY cx, cy
+"""
+
+
+@register("q_cell_histogram", _TILE_SQL.format(pts=CUST_PT_SQL.strip()))
+def q_cell_histogram(spark, sf_dir):
+    """Cell-frequency pre-pass (the salting estimator input): mercator z12
+    tile per point, exact floor math both sides."""
+    pts = customer_points(spark, sf_dir)
+    z = 12
+    n = 1 << z
+    cx = F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("long")
+    cy = F.floor(
+        (1.0 - F.log(F.tan(F.radians(F.col("lat"))) + 1.0 / F.cos(F.radians(F.col("lat")))) / float(np.pi)) / 2.0 * n
+    ).cast("long")
+    return (
+        pts.withColumn("cx", cx)
+        .withColumn("cy", cy)
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("cx", "cy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/W1 — kNN point-distance join (k=1) + J7 anti-join
+# ---------------------------------------------------------------------------
+
+_KNN_SQL = f"""
+WITH c AS ({CUST_PT_SQL.strip()}),
+s AS ({SUPP_PT_SQL.strip()}),
+pairs AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         {HAVERSINE_SQL.format(lon1='c.lon', lat1='c.lat', lon2='s.lon', lat2='s.lat')} AS dist
+  FROM c CROSS JOIN s
+),
+ranked AS (
+  SELECT c_custkey, s_suppkey, dist,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY dist, s_suppkey) AS rn
+  FROM pairs WHERE dist <= 5000.0
+)
+SELECT c_custkey, s_suppkey, round(dist, 2) AS dist_m
+FROM ranked WHERE rn = 1 ORDER BY c_custkey
+"""
+
+
+@register("q_knn_join", _KNN_SQL)
+def q_knn_join(spark, sf_dir):
+    """J5/W1: nearest supplier within 5 km per customer through the engine's
+    cell-join kNN operator (`conflatePOI.py:86-153` semantics)."""
+    out = P.knn_join(
+        customer_points(spark, sf_dir),
+        supplier_points(spark, sf_dir),
+        tolerance_m=5000.0,
+        k=1,
+        probe_id="c_custkey",
+        target_id="s_suppkey",
+    )
+    return out.select(
+        "c_custkey", "s_suppkey", F.round("dist", 2).alias("dist_m")
+    ).orderBy("c_custkey")
+
+
+@register(
+    "q_knn_anti",
+    f"""
+    WITH c AS ({CUST_PT_SQL.strip()}),
+    s AS ({SUPP_PT_SQL.strip()}),
+    matched AS (
+      SELECT DISTINCT c.c_custkey
+      FROM c JOIN s
+        ON {HAVERSINE_SQL.format(lon1='c.lon', lat1='c.lat', lon2='s.lon', lat2='s.lat')} <= 5000.0
+    )
+    SELECT c_custkey FROM c
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM matched)
+    ORDER BY c_custkey
+    """,
+)
+def q_knn_anti(spark, sf_dir):
+    """J7: customers with no supplier within tolerance → left_anti 'new'."""
+    matched = P.knn_join(
+        customer_points(spark, sf_dir),
+        supplier_points(spark, sf_dir),
+        tolerance_m=5000.0,
+        k=1,
+        probe_id="c_custkey",
+        target_id="s_suppkey",
+    ).select("c_custkey")
+    return (
+        customer_points(spark, sf_dir)
+        .join(matched, "c_custkey", "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — building-footprint overlap join (bbox form)
+# ---------------------------------------------------------------------------
+
+_BOX_A_SQL = """
+SELECT p_partkey AS bld_id,
+       -109.0 + (p_partkey % 400) * 0.01 AS min_lon,
+       37.0 + ((p_partkey * 3) % 300) * 0.01 AS min_lat,
+       -109.0 + (p_partkey % 400) * 0.01 + 0.0005 + (p_partkey % 5) * 0.0001 AS max_lon,
+       37.0 + ((p_partkey * 3) % 300) * 0.01 + 0.0005 + (p_partkey % 3) * 0.0001 AS max_lat
+FROM part WHERE p_partkey % 2 = 0
+"""
+_BOX_B_SQL = """
+SELECT p_partkey AS osm_bld_id,
+       -109.0 + ((p_partkey - 1) % 400) * 0.01 + (p_partkey % 4) * 0.0002 AS min_lon,
+       37.0 + (((p_partkey - 1) * 3) % 300) * 0.01 + (p_partkey % 6) * 0.0001 AS min_lat,
+       -109.0 + ((p_partkey - 1) % 400) * 0.01 + (p_partkey % 4) * 0.0002 + 0.0006 AS max_lon,
+       37.0 + (((p_partkey - 1) * 3) % 300) * 0.01 + (p_partkey % 6) * 0.0001 + 0.0006 AS max_lat
+FROM part WHERE p_partkey % 2 = 1
+"""
+
+
+def _boxes_a(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.pmod("p_partkey", F.lit(2)) == 0)
+    k = F.col("p_partkey")
+    min_lon = F.lit(-109.0) + F.pmod(k, F.lit(400)) * 0.01
+    min_lat = F.lit(37.0) + F.pmod(k * 3, F.lit(300)) * 0.01
+    return p.select(
+        k.alias("bld_id"),
+        min_lon.alias("min_lon"),
+        min_lat.alias("min_lat"),
+        (min_lon + 0.0005 + F.pmod(k, F.lit(5)) * 0.0001).alias("max_lon"),
+        (min_lat + 0.0005 + F.pmod(k, F.lit(3)) * 0.0001).alias("max_lat"),
+    )
+
+
+def _boxes_b(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.pmod("p_partkey", F.lit(2)) == 1)
+    k = F.col("p_partkey")
+    min_lon = F.lit(-109.0) + F.pmod(k - 1, F.lit(400)) * 0.01 + F.pmod(k, F.lit(4)) * 0.0002
+    min_lat = F.lit(37.0) + F.pmod((k - 1) * 3, F.lit(300)) * 0.01 + F.pmod(k, F.lit(6)) * 0.0001
+    return p.select(
+        k.alias("osm_bld_id"),
+        min_lon.alias("min_lon"),
+        min_lat.alias("min_lat"),
+        (min_lon + 0.0006).alias("max_lon"),
+        (min_lat + 0.0006).alias("max_lat"),
+    )
+
+
+@register(
+    "q_building_overlap",
+    f"""
+    WITH a AS ({_BOX_A_SQL.strip()}), b AS ({_BOX_B_SQL.strip()}),
+    pairs AS (
+      SELECT a.bld_id, b.osm_bld_id,
+             greatest(least(a.max_lon, b.max_lon) - greatest(a.min_lon, b.min_lon), 0.0) AS w,
+             greatest(least(a.max_lat, b.max_lat) - greatest(a.min_lat, b.min_lat), 0.0) AS h,
+             (a.min_lat + a.max_lat) / 2.0 AS mid_lat
+      FROM a JOIN b
+        ON a.min_lon < b.max_lon AND a.max_lon > b.min_lon
+       AND a.min_lat < b.max_lat AND a.max_lat > b.min_lat
+    )
+    SELECT bld_id, osm_bld_id,
+           CAST(round(w * 10000000.0) AS BIGINT) * CAST(round(h * 10000000.0) AS BIGINT) AS overlap_e14
+    FROM pairs WHERE w > 0 AND h > 0
+    ORDER BY bld_id, osm_bld_id
+    """,
+)
+def q_building_overlap(spark, sf_dir):
+    """J6: overlapping footprint pairs + intersection area through the
+    engine's bucketed overlap join (`conflateBuildings.py:106-112`)."""
+    ov = B.overlap_join(_boxes_a(spark, sf_dir), _boxes_b(spark, sf_dir))
+    w = F.least("a_max_lon", "b_max_lon") - F.greatest("a_min_lon", "b_min_lon")
+    h = F.least("a_max_lat", "b_max_lat") - F.greatest("a_min_lat", "b_min_lat")
+    # integer-scaled overlap: ULP-exact across engines (plain double rounding
+    # of the m2 area differs in the last digit between JVM and C++ libm)
+    overlap = F.round(w * 1e7).cast("bigint") * F.round(h * 1e7).cast("bigint")
+    return (
+        ov.select("bld_id", "osm_bld_id", overlap.alias("overlap_e14"))
+        .orderBy("bld_id", "osm_bld_id")
+    )
+
+
+@register(
+    "q_building_new_antijoin",
+    f"""
+    WITH a AS ({_BOX_A_SQL.strip()}), b AS ({_BOX_B_SQL.strip()}),
+    hit AS (
+      SELECT DISTINCT a.bld_id
+      FROM a JOIN b
+        ON a.min_lon < b.max_lon AND a.max_lon > b.min_lon
+       AND a.min_lat < b.max_lat AND a.max_lat > b.min_lat
+    )
+    SELECT bld_id FROM a WHERE bld_id NOT IN (SELECT bld_id FROM hit)
+    ORDER BY bld_id
+    """,
+)
+def q_building_new_antijoin(spark, sf_dir):
+    """J7/J8: footprints with no overlap → new-buildings anti-join
+    (`conflateBuildings.py:114-143`)."""
+    a = _boxes_a(spark, sf_dir)
+    ov = B.overlap_join(a, _boxes_b(spark, sf_dir))
+    return B.new_buildings(a, ov).select("bld_id").orderBy("bld_id")
+
+
+# ---------------------------------------------------------------------------
+# J9 — tile assignment (point routing, exact floor math)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tile_assign",
+    f"""
+    WITH pts AS ({CUST_PT_SQL.strip()}),
+    params AS (
+      SELECT 10000.0 / 110540.0 AS dlat,
+             10000.0 / (111320.0 * cos(radians((37.0 + 40.5) / 2.0))) AS dlon,
+             CAST(ceil((40.5 - 37.0) / (10000.0 / 110540.0)) AS BIGINT) AS ny
+    )
+    SELECT c_custkey,
+           'Task_' || CAST(CAST(floor((lon - (-109.0)) / dlon) AS BIGINT) * ny
+                         + CAST(floor((lat - 37.0) / dlat) AS BIGINT) AS VARCHAR) AS tile_id
+    FROM pts, params
+    WHERE lon >= -109.0 AND lon < -104.0 AND lat >= 37.0 AND lat < 40.5
+    ORDER BY c_custkey
+    """,
+)
+def q_tile_assign(spark, sf_dir):
+    """J9: point→task-grid routing through the engine tiling operator
+    (`tm_splitter.py:377-395` semantics)."""
+    return (
+        TL.assign_points_to_tiles(customer_points(spark, sf_dir), -109.0, 37.0, -104.0, 40.5, tile_m=10_000.0)
+        .select("c_custkey", "tile_id")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3/W1 — window top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_topk_window",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rn AS rank
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    ORDER BY c_nationkey, rank
+    """,
+)
+def q_topk_window(spark, sf_dir):
+    """A2/A3/W1: deterministic per-group top-k (the best-match pattern)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rank")
+        .orderBy("c_nationkey", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join (levenshtein ratio, JVM-side both engines)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fuzzy_match",
+    """
+    SELECT c.c_custkey, s.s_suppkey,
+           round(100.0 * (1.0 - CAST(levenshtein(lower(c.c_name), lower(s.s_name)) AS DOUBLE)
+                 / greatest(length(c.c_name), length(s.s_name))), 4) AS ratio
+    FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    WHERE 100.0 * (1.0 - CAST(levenshtein(lower(c.c_name), lower(s.s_name)) AS DOUBLE)
+          / greatest(length(c.c_name), length(s.s_name))) >= 55.0
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def q_fuzzy_match(spark, sf_dir):
+    """§2.8 fuzzy family: levenshtein-ratio theta join within nation blocks
+    (`conflator.py:745-756` threshold pattern, block-join shape)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    j = c.join(s, c.c_nationkey == s.s_nationkey)
+    ratio = TG.fuzzy_ratio(F.col("c_name"), F.col("s_name"))
+    return (
+        j.withColumn("ratio", F.round(ratio, 4))
+        .filter(ratio >= 55.0)
+        .select("c_custkey", "s_suppkey", "ratio")
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ref parsing / normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ref_parse",
+    r"""
+    WITH refs AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 3 = 0 THEN 'FS ' WHEN p_partkey % 3 = 1 THEN 'FR ' ELSE 'cr' END
+             || CAST((p_partkey % 900) + 100 AS VARCHAR)
+             || CASE WHEN p_partkey % 4 = 0 THEN '.1A' ELSE '' END AS ref
+      FROM part
+    )
+    SELECT p_partkey, ref,
+           upper(regexp_extract(ref, '^\s*([A-Za-z]+)?\s*([0-9][0-9.]*[A-Za-z]?)\s*$', 1)) AS prefix,
+           upper(regexp_extract(ref, '^\s*([A-Za-z]+)?\s*([0-9][0-9.]*[A-Za-z]?)\s*$', 2)) AS refnum,
+           'FR ' || upper(regexp_extract(ref, '^\s*([A-Za-z]+)?\s*([0-9][0-9.]*[A-Za-z]?)\s*$', 2)) AS ref_norm
+    FROM refs ORDER BY p_partkey
+    """,
+)
+def q_ref_parse(spark, sf_dir):
+    """§2.8 ref parsing: FS/FR/CR prefix split + canonical form
+    (`conflator.py:762-781`, `osmhighways.py:42-57`)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ref = F.concat(
+        F.when(F.pmod(k, F.lit(3)) == 0, F.lit("FS "))
+        .when(F.pmod(k, F.lit(3)) == 1, F.lit("FR "))
+        .otherwise(F.lit("cr")),
+        (F.pmod(k, F.lit(900)) + 100).cast("string"),
+        F.when(F.pmod(k, F.lit(4)) == 0, F.lit(".1A")).otherwise(F.lit("")),
+    )
+    return p.select(
+        "p_partkey",
+        ref.alias("ref"),
+        TG.ref_prefix(ref).alias("prefix"),
+        TG.ref_number(ref).alias("refnum"),
+        TG.normalize_ref(ref).alias("ref_norm"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT md5(substr(text, 1, 40)) AS content_hash,
+           min(doc_id) AS keeper_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY content_hash ORDER BY keeper_id
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (the training-data first pass);
+    40-char prefix keying forces real duplicate groups in the corpus."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return D.exact_dedup(d).orderBy("keeper_id")
+
+
+# ---------------------------------------------------------------------------
+# Portable hash SQL fragments (exact twins of functions/text.py)
+# ---------------------------------------------------------------------------
+
+# polynomial string hash: fold(chars, acc*31 + ord) % (2^31-1)
+_POLY_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ord(c) AS BIGINT))), "
+    "(a, c) -> (a * 31 + c) % 2147483647)"
+)
+# whitespace tokens, empty-safe
+_TOKS_SQL = (
+    "CASE WHEN trim({t}) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim({t}), '\\s+') END"
+)
+
+
+@register(
+    "q_fingerprint",
+    f"""
+    SELECT doc_id, {_POLY_SQL.format(s="substr(text, 1, 40)")} AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (dedup pre-key) — identical
+    polynomial fold JVM-side and in the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.doc_fingerprint(F.substring("text", 1, 40)).alias("fp")
+    ).orderBy("doc_id")
+
+
+_TOKHASH_SQL = (
+    "list_transform(" + _TOKS_SQL.format(t="text") + ", s -> " + _POLY_SQL.format(s="s") + ")"
+)
+
+
+def _mh_sql(i: int) -> str:
+    a, b = 2 * i + 1, 7 * i + 3
+    return (
+        f"coalesce(list_min(list_transform(hs, x -> ({a} * x + {b}) % 2147483647)), "
+        f"2147483647) AS mh{i}"
+    )
+
+
+@register(
+    "q_minhash_sig",
+    f"""
+    WITH h AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents)
+    SELECT doc_id, {", ".join(_mh_sql(i) for i in range(4))}
+    FROM h ORDER BY doc_id
+    """,
+)
+def q_minhash_sig(spark, sf_dir):
+    """MinHash signatures (k=4) — the LSH banding input."""
+    d = _t(spark, sf_dir, "documents")
+    sig = TX.minhash_signature(F.col("text"), k=4)
+    return d.select(
+        "doc_id", *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)]
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_minhash_band_pairs",
+    f"""
+    WITH h AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents),
+    sig AS (SELECT doc_id, {", ".join(_mh_sql(i) for i in range(4))} FROM h),
+    banded AS (
+      SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bucket FROM sig
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    GROUP BY id_a, id_b ORDER BY id_a, id_b
+    """,
+)
+def q_minhash_band_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs via the engine's banding join (k=4,
+    2 bands — shingle→minhash→band→bucket-join)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, k=4, bands=2).orderBy("id_a", "id_b")
+
+
+_SIMHASH_SQL_BITS = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+
+@register(
+    "q_simhash",
+    f"""
+    WITH h AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents),
+    tok AS (SELECT doc_id, unnest(hs) AS h FROM h),
+    agg AS (
+      SELECT doc_id, CAST({_SIMHASH_SQL_BITS} AS BIGINT) AS simhash
+      FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(agg.simhash, 0) AS simhash
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints (near-dup hashing)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.simhash16(F.col("text")).alias("simhash")).orderBy("doc_id")
+
+
+@register(
+    "q_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 2, 1)),
+               i -> substr(text, CAST(i AS INT), 3))) AS grams,
+             CAST(floor(length(text) / 256) AS BIGINT) AS lb
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams)) AS inter_size,
+           len(list_distinct(list_concat(a.grams, b.grams))) AS union_size
+    FROM g a JOIN g b ON a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) * 2 >= len(list_distinct(list_concat(a.grams, b.grams)))
+    ORDER BY id_a, id_b
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Char-3-gram Jaccard near-dups within length buckets; all-integer
+    output (intersection/union sizes; threshold inter*2 >= union ⇔ J >= 0.5)
+    so parity is exact."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        TX.char_ngrams(F.col("text"), 3).alias("grams"),
+        F.floor(F.length("text") / 256).cast("long").alias("lb"),
+    )
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"), "lb")
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"), "lb")
+    pairs = a.join(b, "lb").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.select("id_a", "id_b", inter.alias("inter_size"), union.alias("union_size"))
+        .filter(F.col("inter_size") * 2 >= F.col("union_size"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID + quality scoring + token counts
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in TX.LANG_STOPWORDS.items()
+}
+
+
+@register(
+    "q_text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL.format(t="text")} AS toks FROM documents
+    ),
+    v AS (
+      SELECT doc_id, text, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains({_STOP_SQL['de']}, lower(x)))) AS v_de,
+             len(list_filter(toks, x -> list_contains({_STOP_SQL['en']}, lower(x)))) AS v_en,
+             len(list_filter(toks, x -> list_contains({_STOP_SQL['es']}, lower(x)))) AS v_es,
+             len(list_filter(toks, x -> list_contains({_STOP_SQL['fr']}, lower(x)))) AS v_fr
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+                WHEN v_de = greatest(v_de, v_en, v_es, v_fr) THEN 'de'
+                WHEN v_en = greatest(v_de, v_en, v_es, v_fr) THEN 'en'
+                WHEN v_es = greatest(v_de, v_en, v_es, v_fr) THEN 'es'
+                ELSE 'fr' END AS lang_detected,
+           round(
+             0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                                ELSE CAST(v_en AS DOUBLE) / n_tokens END * 4.0, 1.0)
+             + 0.2 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                                 ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                      / length(text) END),
+           6) AS quality
+    FROM v ORDER BY doc_id
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Language ID (stopword voting), quality score, token count — the
+    text-analysis layer, all JVM-side Column math."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.detect_lang("text").alias("lang_detected"),
+        TX.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ANN: exact cosine top-k with a sequential-fold SQL twin
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))"
+)
+
+
+@register(
+    "q_cosine_topk",
+    f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS p_vec FROM embeddings WHERE vec_id < 50),
+    pairs AS (
+      SELECT p.probe_id, t.vec_id,
+             CASE WHEN {_NORM_SQL.format(a="p.p_vec")} * {_NORM_SQL.format(a="t.embedding")} = 0 THEN 0.0
+                  ELSE {_DOT_SQL.format(a="p.p_vec", b="t.embedding")}
+                       / ({_NORM_SQL.format(a="p.p_vec")} * {_NORM_SQL.format(a="t.embedding")})
+             END AS cs
+      FROM p CROSS JOIN embeddings t WHERE p.probe_id <> t.vec_id
+    )
+    SELECT probe_id, vec_id, round(cs, 6) AS cos_sim, rank FROM (
+      SELECT probe_id, vec_id, cs,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 3 ORDER BY probe_id, rank
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-3 (ANN baseline): JVM aggregate/zip_with
+    dot product; SQL twin uses the same sequential left-fold so doubles are
+    bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return S.cosine_topk_bruteforce(probes, emb, k=3).orderBy("probe_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Set ops + semi join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_semi",
+    """
+    WITH u AS (
+      SELECT user_id, event_type FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, event_type FROM events WHERE event_type = 'purchase'
+    )
+    SELECT u.user_id, count(*) AS n_events
+    FROM u WHERE u.user_id IN (SELECT c_custkey FROM customer)
+    GROUP BY u.user_id ORDER BY u.user_id
+    """,
+)
+def q_union_semi(spark, sf_dir):
+    """§2.7 set ops: unionByName + left_semi + count agg."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    u = e.filter(F.col("event_type") == "click").select("user_id", "event_type").unionByName(
+        e.filter(F.col("event_type") == "purchase").select("user_id", "event_type")
+    )
+    return (
+        u.join(c.select(F.col("c_custkey").alias("user_id")), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — slope/angle predicate math
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_slope_angle",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             ((o_orderkey % 17) - 8) / 4.0 AS s1,
+             (((o_orderkey * 5) % 23) - 11) / 7.3 AS s2
+      FROM orders
+    )
+    SELECT o_orderkey, round(abs(s2 - s1), 6) AS dslope,
+           round(abs(degrees(atan((s2 - s1) / (1.0 + s1 * s2)))), 6) AS angle,
+           CASE WHEN abs(degrees(atan((s2 - s1) / (1.0 + s1 * s2)))) <= 17.0
+                 AND abs(s2 - s1) <= 4.0 THEN 1 ELSE 0 END AS passes
+    FROM s ORDER BY o_orderkey
+    """,
+)
+def q_slope_angle(spark, sf_dir):
+    """J4: the reference's slope/angle predicate (`conflator.py:504-551`)
+    as exact Column math with its acceptance thresholds."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s1 = (F.pmod(k, F.lit(17)) - 8) / 4.0
+    s2 = (F.pmod(k * 5, F.lit(23)) - 11) / 7.3
+    ang = F.abs(F.degrees(F.atan((s2 - s1) / (1.0 + s1 * s2))))
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(s2 - s1), 6).alias("dslope"),
+        F.round(ang, 6).alias("angle"),
+        F.when((ang <= 17.0) & (F.abs(s2 - s1) <= 4.0), F.lit(1)).otherwise(F.lit(0)).alias("passes"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# A6/A7 — counts + area filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_count_validation",
+    """
+    SELECT 'customer' AS tbl, count(*) AS n FROM customer
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    ORDER BY tbl
+    """,
+)
+def q_count_validation(spark, sf_dir):
+    """A6: COUNT validation queries (`geosupport.py:394-395`)."""
+    rows = []
+    for t in ("customer", "orders", "lineitem"):
+        rows.append(_t(spark, sf_dir, t).select(F.lit(t).alias("tbl"), F.count("*").alias("n")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("tbl")
+
+
+@register(
+    "q_area_filter",
+    """
+    SELECT o_orderkey,
+           ((o_orderkey % 100) * 10 + 50) * (((o_orderkey * 3) % 80) * 10 + 40) AS area_m2
+    FROM orders
+    WHERE ((o_orderkey % 100) * 10 + 50) * (((o_orderkey * 3) % 80) * 10 + 40) >= 100000
+    ORDER BY o_orderkey
+    """,
+)
+def q_area_filter(spark, sf_dir):
+    """A7: drop fragments with area < 100000 m² (`tm_splitter.py:170-177`) —
+    integer box math, exact parity."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    area = (F.pmod(k, F.lit(100)) * 10 + 50) * (F.pmod(k * 3, F.lit(80)) * 10 + 40)
+    return o.select("o_orderkey", area.alias("area_m2")).filter(area >= 100000).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Span codec: engine roundtrip vs direct SQL construction of the signature
+# ---------------------------------------------------------------------------
+
+_U_SQL = "(((k * (2654435761 + {s} * 40503) + {s} * 97) % 1000003) / 1000003.0)"
+_PICK_SQL = "((k * 2654435761 + {s} * 97) % {n})"
+
+
+def _list_case(idx_expr: str, options: list[str]) -> str:
+    return (
+        "CASE " + idx_expr + " "
+        + " ".join(f"WHEN {i} THEN '{o}'" for i, o in enumerate(options))
+        + " END"
+    )
+
+
+_SPAN_SIG_SQL = f"""
+WITH k AS (SELECT o_orderkey AS k FROM orders),
+geo AS (
+  SELECT k,
+    CASE WHEN k % 100 = 7 THEN -106.5 + {_U_SQL.format(s=11)} * 0.01
+         ELSE -109.0 + {_U_SQL.format(s=1)} * 5.0 END AS x0,
+    CASE WHEN k % 100 = 7 THEN 39.0 + {_U_SQL.format(s=12)} * 0.01
+         ELSE 37.0 + {_U_SQL.format(s=2)} * 3.5 END + 0.0 AS y0,
+    ({_U_SQL.format(s=3)} - 0.5) * 0.008 AS s1x,
+    ({_U_SQL.format(s=4)} - 0.5) * 0.006 AS s1y,
+    ({_U_SQL.format(s=5)} - 0.5) * 0.008 AS s2x,
+    ({_U_SQL.format(s=6)} - 0.5) * 0.006 AS s2y
+  FROM k
+),
+parts AS (
+  SELECT k,
+    {_list_case(_PICK_SQL.format(s=23, n=6), synth._HW)} AS hw,
+    {_list_case(_PICK_SQL.format(s=21, n=16), synth._WORDS)} || ' ' ||
+      {_list_case(_PICK_SQL.format(s=22, n=6), synth._SUFFIX)} AS name,
+    'FR ' || CAST((k % 900) + 100 AS VARCHAR) ||
+      CASE WHEN k % 3 = 0 THEN '.' || CAST((k % 9) + 1 AS VARCHAR) ELSE '' END AS ref,
+    'LINESTRING(' || printf('%.7f', x0) || ' ' || printf('%.7f', y0) || ',' ||
+      printf('%.7f', x0 + s1x) || ' ' || printf('%.7f', y0 + s1y) || ',' ||
+      printf('%.7f', x0 + s1x + s2x) || ' ' || printf('%.7f', y0 + s1y + s2y) || ')' AS wkt,
+    '18/' || CAST((k * 53) % 262144 AS VARCHAR) || '/' || CAST((k * 37) % 262144 AS VARCHAR) || '.jpg' AS media
+  FROM geo
+)
+SELECT 'doc-' || CAST(k AS VARCHAR) AS doc_id,
+       'tag' || chr(1) || 'highway=' || hw || chr(1) ||
+       chr(2) || 'tag' || chr(1) || 'name=' || name || chr(1) ||
+       chr(2) || 'tag' || chr(1) || 'ref:usfs=' || ref || chr(1) ||
+       chr(2) || 'geom' || chr(1) || wkt || chr(1) ||
+       chr(2) || 'media' || chr(1) || chr(1) || media AS sig
+FROM parts ORDER BY doc_id
+"""
+
+
+@register("q_span_signature", _SPAN_SIG_SQL)
+def q_span_signature(spark, sf_dir):
+    """The per-row invariant, end-to-end: interleaved spans table →
+    spans_to_features → features_to_spans → signature.  The oracle builds
+    the expected (kind, text, media_ref, order) signature directly from the
+    generator arithmetic — any reorder/corruption in the codec breaks it."""
+    docs = synth.documents_spans(spark, sf_dir)
+    out = SP.features_to_spans(SP.spans_to_features(docs))
+    return out.select("doc_id", SP.span_signature("spans").alias("sig")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible: full engine paths)
+# ---------------------------------------------------------------------------
+
+
+@register("q_conflate_flagship", None)
+def q_conflate_flagship(spark, sf_dir):
+    """§3.1 flagship: full conflation over the synthetic corpus (correctness
+    pinned by the brute-force oracle in tests/test_conflate.py)."""
+    conflated, _ = C.conflate(synth.external_ways(spark, sf_dir), synth.osm_ways(spark, sf_dir))
+    return conflated.select("ext_id", "way_id", "hits", "dist", "name_ratio", "ref_ratio", "tags")
+
+
+@register("q_conflate_new", None)
+def q_conflate_new(spark, sf_dir):
+    """§3.1 anti-join output: external features with no OSM counterpart."""
+    _, new = C.conflate(synth.external_ways(spark, sf_dir), synth.osm_ways(spark, sf_dir))
+    return new.select("ext_id", "tags", "version")
+
+
+@register("q_line_tiles", None)
+def q_line_tiles(spark, sf_dir):
+    """J9 polyline multi-tile routing (exact predicate checked in pytest)."""
+    ways = synth.osm_ways(spark, sf_dir)
+    return TL.assign_lines_to_tiles(ways, synth.LON0, synth.LAT0, synth.LON0 + synth.LON_SPAN,
+                                    synth.LAT0 + synth.LAT_SPAN, tile_m=20_000.0).select("way_id", "tile_id")
+
+
+@register("q_lsh_topk", None)
+def q_lsh_topk(spark, sf_dir):
+    """Approximate ANN (multi-table hyperplane LSH; recall floor in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50).select(F.col("vec_id").alias("probe_id"), "embedding")
+    return S.lsh_topk(probes, emb, dim=64, k=3)
+
+
+@register("q_media_features", None)
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: media spans → payload → mapInPandas feature
+    extraction (stub decoder; schema/batch shape are the real contract)."""
+    docs = synth.documents_spans(spark, sf_dir)
+    feats = SP.spans_to_features(docs)
+    media = feats.select("doc_id", F.explode("media_refs").alias("media_ref")).withColumn(
+        "payload", M.synth_payload("media_ref")
+    )
+    return M.extract_media_features(media)

@@ -56,11 +56,13 @@ def _pick(key, salt: int, options: list[str]):
 
 
 def base_lonlat(key):
-    """Anchor point for a way id: hot keys (k%10==7) collapse into a ~300 m
-    box; the rest spread over the AOI."""
-    hot = F.pmod(key, F.lit(10)) == 7
-    lon = F.when(hot, HOT_LON + _u(key, 11) * 0.003).otherwise(LON0 + _u(key, 1) * LON_SPAN)
-    lat = F.when(hot, HOT_LAT + _u(key, 12) * 0.003).otherwise(LAT0 + _u(key, 2) * LAT_SPAN)
+    """Anchor point for a way id: hot keys (k%100==7, 1%) collapse into a
+    ~1 km box (≈2000× the background density — a dense-urban-tile stand-in
+    that stresses salting without going quadratic at bench scale); the rest
+    spread over the AOI."""
+    hot = F.pmod(key, F.lit(100)) == 7
+    lon = F.when(hot, HOT_LON + _u(key, 11) * 0.01).otherwise(LON0 + _u(key, 1) * LON_SPAN)
+    lat = F.when(hot, HOT_LAT + _u(key, 12) * 0.01).otherwise(LAT0 + _u(key, 2) * LAT_SPAN)
     return lon, lat
 
 
@@ -191,8 +193,10 @@ def _wkt_linestring(geom_col):
         pair_idx,
         lambda i: F.concat_ws(
             " ",
-            F.round(F.element_at(geom_col, (i * 2 + 1).cast("int")), 7).cast("string"),
-            F.round(F.element_at(geom_col, (i * 2 + 2).cast("int")), 7).cast("string"),
+            # fixed %.7f formatting: bit-identical string from Spark and the
+            # ANSI-SQL oracle (plain cast-to-string reprs can differ)
+            F.format_string("%.7f", F.element_at(geom_col, (i * 2 + 1).cast("int"))),
+            F.format_string("%.7f", F.element_at(geom_col, (i * 2 + 2).cast("int"))),
         ),
     )
     return F.concat(F.lit("LINESTRING("), F.concat_ws(",", pairs), F.lit(")"))

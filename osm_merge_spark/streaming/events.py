@@ -1,0 +1,63 @@
+"""Structured-streaming ingest of the events feed.
+
+The reference has no streaming (SURVEY.md §2.9) — its closest analog is
+chunked incremental file processing (`osm_merge/readjson.py:52-241`).  This
+module provides the engine's incremental-ingest surface as Structured
+Streaming: parquet-directory source → watermarked windowed aggregation →
+``foreachBatch`` parquet sink, runnable with ``availableNow`` for
+batch-equivalent tests and continuously on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Late-data-tolerant windowed aggregation per event type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession, src_path: str, out_path: str, checkpoint_path: str
+) -> None:
+    """Drain everything currently in src_path exactly once (checkpointed —
+    a rerun with the same checkpoint ingests nothing new)."""
+    stream = read_events_stream(spark, src_path)
+    agg = windowed_counts(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out_path))
+        .start()
+    )
+    q.awaitTermination()

@@ -155,7 +155,7 @@ def test_salted_path_identical_results(spark):
     """Explicit hot-cell salting must not change the result set."""
     ext, osm = synth.external_ways(spark, SF), synth.osm_ways(spark, SF)
     plain, _ = C.conflate(ext, osm)
-    salted, _ = C.conflate(ext, osm, salt_hot_threshold=50)
+    salted, _ = C.conflate(ext, osm, salt_hot_threshold=5)
     a = {(r["ext_id"], r["way_id"]) for r in plain.select("ext_id", "way_id").collect()}
     b = {(r["ext_id"], r["way_id"]) for r in salted.select("ext_id", "way_id").collect()}
     assert a == b

@@ -1,0 +1,107 @@
+"""Checkpoint/lineage/resume + structured streaming tests."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_merge_spark.plans import lineage as L
+from osm_merge_spark.streaming import events as ST
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="oms-test-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_checkpoint_and_resume(spark, tmpdir):
+    src = spark.range(0, 1000).select(F.col("id").alias("ext_id"), (F.col("id") * 2).alias("v"))
+
+    calls = []
+
+    def job(part):
+        calls.append(1)
+        return part.withColumn("out", F.col("v") + 1)
+
+    r1 = L.run_bucketed(spark, src, job, tmpdir + "/out", run_id="r1", n_buckets=4)
+    assert len(r1["completed"]) == 4 and not r1["skipped"]
+    assert r1["output_rows"] == 1000
+
+    # resume: same run_id → all buckets skipped, no job calls
+    n_calls = len(calls)
+    r2 = L.run_bucketed(spark, src, job, tmpdir + "/out", run_id="r1", n_buckets=4)
+    assert len(r2["skipped"]) == 4 and not r2["completed"]
+    assert len(calls) == n_calls
+
+    # lineage metrics: rows in == rows out per bucket, positive wall time
+    rep = L.lineage_report(spark, tmpdir + "/out").toPandas()
+    assert len(rep) == 4
+    assert (rep["input_rows"] == rep["output_rows"]).all()
+    assert (rep["input_rows"].sum()) == 1000
+    assert (rep["wall_ms"] >= 0).all()
+
+    # a new run_id reruns everything
+    r3 = L.run_bucketed(spark, src, job, tmpdir + "/out", run_id="r2", n_buckets=4)
+    assert len(r3["completed"]) == 4
+
+
+def test_partial_resume_after_simulated_crash(spark, tmpdir):
+    src = spark.range(0, 100).select(F.col("id").alias("ext_id"))
+
+    class Boom(Exception):
+        pass
+
+    state = {"fail_at": 2, "n": 0}
+
+    def flaky(part):
+        if state["n"] == state["fail_at"]:
+            raise Boom()
+        state["n"] += 1
+        return part
+
+    with pytest.raises(Boom):
+        L.run_bucketed(spark, src, flaky, tmpdir + "/out", run_id="r1", n_buckets=4)
+    state["fail_at"] = -1
+    r = L.run_bucketed(spark, src, flaky, tmpdir + "/out", run_id="r1", n_buckets=4)
+    assert len(r["skipped"]) == 2  # the two buckets that finished pre-crash
+    assert len(r["completed"]) == 2
+    rep = L.lineage_report(spark, tmpdir + "/out").toPandas()
+    assert rep["input_rows"].sum() == 100
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmpdir):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(tmpdir + "/src")
+
+    ST.run_available_now(spark, tmpdir + "/src", tmpdir + "/out", tmpdir + "/ckpt")
+    got = spark.read.parquet(tmpdir + "/out")
+
+    # append-mode watermarking never emits windows still above the final
+    # watermark (max_ts - 2h) — restrict the batch oracle to emittable ones
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    exp = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .filter(F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    )
+    g = got.select("window_start", "event_type", "n_events", "total_value").toPandas()
+    e = exp.drop("window_end").toPandas()
+    key = ["window_start", "event_type"]
+    g = g.sort_values(key).reset_index(drop=True)
+    e = e.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["n_events"].values == e["n_events"].values).all()
+
+    # checkpointed: a second availableNow run adds nothing
+    ST.run_available_now(spark, tmpdir + "/src", tmpdir + "/out", tmpdir + "/ckpt")
+    assert spark.read.parquet(tmpdir + "/out").count() == len(g)
