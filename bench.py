@@ -43,11 +43,25 @@ def build_spark(cores: int):
     return s
 
 
+def warmup(spark) -> None:
+    """Spin up Python workers / Arrow / codegen on the tiny corpus so the
+    measured run reflects steady-state throughput, not JVM+worker cold
+    start (~15 s of fixed overhead otherwise)."""
+    from osm_merge_spark.operators import conflate as C
+    from osm_merge_spark.sources import synth
+
+    sf = "/root/testdata/sf0.001"
+    conflated, new = C.conflate(synth.external_ways(spark, sf), synth.osm_ways(spark, sf))
+    conflated.count()
+    new.count()
+
+
 def run_conflation(spark, sf_dir: str) -> tuple[int, float]:
     """The headline job: full conflation, returns (conflated rows, seconds)."""
     from osm_merge_spark.operators import conflate as C
     from osm_merge_spark.sources import synth
 
+    warmup(spark)
     t0 = time.time()
     conflated, new = C.conflate(
         synth.external_ways(spark, sf_dir), synth.osm_ways(spark, sf_dir)

@@ -81,7 +81,10 @@ def cover_udf(zoom: int, ring: int = 0):
             out[r] = chunk.tolist()
         return pd.Series(out)
 
-    return _cover
+    # deterministic in fact — marked nondeterministic so Catalyst materializes
+    # the UDF once instead of re-evaluating it per referencing expression
+    # (stacked ArrowEvalPython nodes double Python time otherwise)
+    return _cover.asNondeterministic()
 
 
 def _split_runs(rows: np.ndarray, cells: np.ndarray):
@@ -182,6 +185,10 @@ def geom_score_udf(geom_a: pd.Series, geom_b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"dist": dist, "dslope": dslope, "angle": angle})
 
 
+# single evaluation (see cover_udf note)
+geom_score_udf = geom_score_udf.asNondeterministic()
+
+
 # ---------------------------------------------------------------------------
 # The conflation pipeline
 # ---------------------------------------------------------------------------
@@ -202,8 +209,18 @@ def candidate_pairs(
     Returns distinct (ext_id, way_id) candidate pairs with both geoms+tags.
     """
     ring = grid.ring_for_threshold(threshold_m, zoom, max_abs_lat)
-    p = with_cells(primary.select("ext_id", F.col("geom").alias("geom_p"), F.col("tags").alias("tags_p")), "geom_p", zoom, ring)
-    s = with_cells(secondary.select("way_id", F.col("geom").alias("geom_s"), F.col("tags").alias("tags_s"), "version"), "geom_s", zoom, 0)
+    # Late materialization: the cell join runs over NARROW (id, cell) rows
+    # only — a skewed hot cell then costs long-pairs, not wide payload rows,
+    # and the shuffle moves a fraction of the bytes.  Payloads re-attach
+    # after pair dedupe via two evenly-hashed id joins.
+    p_payload = primary.select(
+        "ext_id", F.col("geom").alias("geom_p"), F.col("tags").alias("tags_p")
+    )
+    s_payload = secondary.select(
+        "way_id", F.col("geom").alias("geom_s"), F.col("tags").alias("tags_s"), "version"
+    )
+    p = with_cells(primary.select("ext_id", "geom"), "geom", zoom, ring).select("ext_id", "cell")
+    s = with_cells(secondary.select("way_id", "geom"), "geom", zoom, 0).select("way_id", "cell")
 
     if salt_hot_threshold:
         counts = s.groupBy("cell").agg(F.count("*").alias("cnt"))
@@ -213,15 +230,8 @@ def candidate_pairs(
     else:
         joined = p.join(s, "cell")
 
-    # dedupe pairs before the expensive kernel: groupBy instead of distinct
-    # keeps only one (geom, tags) witness per pair (they are identical).
-    return joined.groupBy("ext_id", "way_id").agg(
-        F.first("geom_p").alias("geom_p"),
-        F.first("geom_s").alias("geom_s"),
-        F.first("tags_p").alias("tags_p"),
-        F.first("tags_s").alias("tags_s"),
-        F.first("version").alias("version"),
-    )
+    pairs = joined.select("ext_id", "way_id").dropDuplicates(["ext_id", "way_id"])
+    return pairs.join(p_payload, "ext_id").join(s_payload, "way_id")
 
 
 def score_pairs(pairs: DataFrame, threshold_m: float = DEFAULT_THRESHOLD_M) -> DataFrame:
@@ -282,6 +292,7 @@ def conflate(
     threshold_m: float = DEFAULT_THRESHOLD_M,
     zoom: int = grid.DEFAULT_ZOOM,
     salt_hot_threshold: int | None = None,
+    persist_best: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full conflation: returns (conflated, new).
 
@@ -294,6 +305,10 @@ def conflate(
     pairs = candidate_pairs(primary, secondary, threshold_m, zoom, salt_hot_threshold=salt_hot_threshold)
     scored = score_pairs(pairs, threshold_m)
     best = best_matches(scored)
+    if persist_best:
+        # both outputs (conflated + anti-join "new") consume `best`; persist
+        # so the join/score stages run once, not once per output action
+        best = best.persist()
 
     conflated = best.select(
         "ext_id",

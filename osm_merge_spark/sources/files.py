@@ -1,0 +1,223 @@
+"""File-format sources and sinks: GeoJSON and OSM XML.
+
+- GeoJSON scan (S1/S2): `osm_merge/conflator.py:894-929` whole-file load and
+  the chunked reader `osm_merge/readjson.py:52-167`.  Spark-native: the
+  FeatureCollection is read with ``spark.read.json(multiLine=True)`` +
+  ``explode(features)``; newline-delimited GeoJSON features stream through
+  the default splittable JSON reader.
+- GeoJSON sink (K1): `osm_merge/conflator.py:1002-1015` — features written
+  as JSON lines (composable back into a collection).
+- OSM XML scan (S3): `osm_merge/osmfile.py:110-209` — one-time ingest;
+  distributed over files via binaryFile + a stdlib-ElementTree batch parser
+  (ingest boundary only, never in the hot path).
+- OSM XML sink (K2): `osm_merge/osmfile.py:211-463` — attribute/tag split,
+  ``action='modify'``, version bump, nodes-before-ways ordering — as a pure
+  Column formatting stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import geometry as G
+
+# ---------------------------------------------------------------------------
+# GeoJSON
+# ---------------------------------------------------------------------------
+
+
+def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+    """FeatureCollection file(s) → (feature_id, geom array<double>, kind,
+    tags map).  Geometry kinds: Point/LineString (the shapes the reference
+    conflates); tags are the properties object's string values."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    feats = raw.select(F.explode("features").alias("f"))
+    props = F.col("f.properties")
+    geom_type = F.col("f.geometry.type")
+    # coordinates arrive as string-ified nested arrays under schema merge;
+    # normalize via to_json + one vectorized parse
+    coords_json = F.to_json(F.col("f.geometry.coordinates"))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _flat(coords: pd.Series, kinds: pd.Series) -> pd.Series:
+        import json
+
+        def load(v):
+            # schema merge can leave coordinates as nested JSON strings;
+            # unwrap until we reach real lists
+            while isinstance(v, str):
+                v = json.loads(v)
+            if isinstance(v, list):
+                return [load(x) for x in v]
+            return v
+
+        out = []
+        for c, k in zip(coords, kinds):
+            if c is None:
+                out.append([])
+                continue
+            v = load(json.loads(c))
+            if k == "Point":
+                out.append([float(v[0]), float(v[1])])
+            else:  # LineString
+                out.append([float(x) for pt in v for x in pt[:2]])
+        return pd.Series(out)
+
+    return feats.select(
+        F.monotonically_increasing_id().alias("feature_id"),
+        geom_type.alias("kind"),
+        _flat(coords_json, geom_type).alias("geom"),
+        F.from_json(F.to_json(props), "map<string,string>").alias("tags"),
+    )
+
+
+def write_geojson_lines(df: DataFrame, path: str, geom_col: str = "geom", tags_col: str = "tags") -> None:
+    """One GeoJSON Feature per output line (ndjson — splittable on re-read)."""
+    pair_idx = F.sequence(F.lit(0), (F.size(geom_col) / 2 - 1).cast("int"))
+    coords = F.transform(
+        pair_idx,
+        lambda i: F.array(
+            F.element_at(geom_col, (i * 2 + 1).cast("int")),
+            F.element_at(geom_col, (i * 2 + 2).cast("int")),
+        ),
+    )
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.when(F.size(geom_col) == 2, F.lit("Point")).otherwise(F.lit("LineString")).alias("type"),
+                coords.alias("coordinates"),
+            ).alias("geometry"),
+            F.col(tags_col).alias("properties"),
+        )
+    )
+    df.select(feature.alias("value")).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# OSM XML
+# ---------------------------------------------------------------------------
+
+_OSM_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("osm_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("version", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("refs", T.ArrayType(T.LongType())),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def read_osm_xml(spark: SparkSession, path: str) -> DataFrame:
+    """OSM XML ingest: distributed over files (binaryFile source), stdlib
+    ElementTree per file inside mapInPandas — the Spark twin of
+    `osmfile.loadFile` incl. the tiger:* drop (`osmfile.py:152-156`)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                root = ET.fromstring(blob.decode("utf-8"))
+                for el in root:
+                    if el.tag not in ("node", "way"):
+                        continue
+                    tags = {
+                        t.get("k"): t.get("v")
+                        for t in el.findall("tag")
+                        if not t.get("k", "").startswith("tiger:")
+                    }
+                    refs = [int(n.get("ref")) for n in el.findall("nd")]
+                    rows.append(
+                        (
+                            int(el.get("id")),
+                            el.tag,
+                            int(el.get("version", "1")),
+                            float(el.get("lon")) if el.get("lon") else None,
+                            float(el.get("lat")) if el.get("lat") else None,
+                            refs,
+                            tags,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _OSM_ROW_SCHEMA.fields])
+
+    return files.select("content").mapInPandas(parse, _OSM_ROW_SCHEMA)
+
+
+def build_way_geometries(osm: DataFrame) -> DataFrame:
+    """J10 node-deref join: way refs → node coords → ordered flat geometry
+    (`osmfile.py:198-203` as explode ⋈ nodes + ordered re-assembly)."""
+    nodes = osm.filter(F.col("kind") == "node").select(
+        F.col("osm_id").alias("ref"), "lon", "lat"
+    )
+    ways = osm.filter(F.col("kind") == "way").select("osm_id", "version", "tags", "refs")
+    exploded = ways.select(
+        "osm_id", F.posexplode("refs").alias("pos", "ref")
+    )
+    joined = exploded.join(nodes, "ref", "left")
+    geom = (
+        joined.groupBy("osm_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts"),
+        )
+        .select(
+            "osm_id",
+            F.flatten(F.transform("pts", lambda p: F.array(p["lon"], p["lat"]))).alias("geom"),
+        )
+    )
+    return ways.join(geom, "osm_id").select("osm_id", "version", "tags", "geom")
+
+
+def to_osm_xml(df: DataFrame, id_col: str = "osm_id", kind: str = "way", modify: bool = True) -> DataFrame:
+    """K2 formatting stage: one OSM XML element string per row, with the
+    reference's attribute/tag split, ``action='modify'`` and version+1
+    (`osmfile.py:306-403`).  Pure Column string assembly."""
+    tags_xml = F.array_join(
+        F.transform(
+            F.map_entries(F.col("tags")),
+            lambda e: F.concat(
+                F.lit('  <tag k="'),
+                e["key"],
+                F.lit('" v="'),
+                F.regexp_replace(e["value"], '"', "&quot;"),
+                F.lit('"/>'),
+            ),
+        ),
+        "\n",
+    )
+    action = ' action="modify"' if modify else ""
+    version = (F.col("version") + 1) if modify else F.col("version")
+    if kind == "node":
+        head = F.concat(
+            F.lit(f"<node{action} id=\""), F.col(id_col).cast("string"),
+            F.lit('" version="'), version.cast("string"),
+            F.lit('" lon="'), F.col("lon").cast("string"),
+            F.lit('" lat="'), F.col("lat").cast("string"), F.lit('">'),
+        )
+        tail = F.lit("</node>")
+    else:
+        refs_xml = F.array_join(
+            F.transform(F.col("refs"), lambda r: F.concat(F.lit('  <nd ref="'), r.cast("string"), F.lit('"/>'))),
+            "\n",
+        )
+        head = F.concat(
+            F.lit(f"<way{action} id=\""), F.col(id_col).cast("string"),
+            F.lit('" version="'), version.cast("string"), F.lit('">'),
+            F.lit("\n"), refs_xml,
+        )
+        tail = F.lit("</way>")
+    return df.select(
+        F.col(id_col),
+        F.lit(0 if kind == "node" else 1).alias("__order"),  # nodes before ways
+        F.concat_ws("\n", head, tags_xml, tail).alias("xml"),
+    )

@@ -1,0 +1,116 @@
+"""Converter + file-format source/sink tests."""
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_merge_spark.sources import converters as CV
+from osm_merge_spark.sources import files as FL
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="oms-src-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_mvum_converter(spark):
+    src = spark.createDataFrame(
+        [
+            (1, "cedar lk  rd", "FS 521.1A", "1", "2", "RD", "05/15-11/30", "Y", None),
+            (2, "BEAR CR RD", "30", "3", "5", "TR", "01/01-12/31", None, "Y"),
+        ],
+        "gid long, name string, id string, sur_code string, smo_code string, "
+        "hw_code string, seasonal_dates string, atv string, motorcycle string",
+    )
+    out = CV.convert(src, CV.MVUM_SPEC, keep_cols=["gid"]).orderBy("gid").collect()
+    t1, t2 = out[0]["tags"], out[1]["tags"]
+    assert t1["name"] == "Cedar Lake Road"
+    assert t1["ref:usfs"] == "FR 521.1A"
+    assert t1["surface"] == "dirt" and t1["smoothness"] == "horrible"
+    assert t1["highway"] == "track"
+    assert t1["opening_hours"] == "May-Nov" and t1["seasonal"] == "yes"
+    assert t1["atv"] == "designated" and "motorcycle" not in t1
+    assert t1["operator"] == "US Forest Service"
+    assert t2["seasonal"] == "no" and t2["ref:usfs"] == "FR 30"
+    assert t2["motorcycle"] == "designated" and "atv" not in t2
+
+
+def test_geojson_roundtrip(spark, tmpdir):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "LineString", "coordinates": [[-105.0, 40.0], [-104.99, 40.01]]},
+                "properties": {"highway": "track", "name": "Elk Road"},
+            },
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [-105.5, 39.5]},
+                "properties": {"amenity": "parking"},
+            },
+        ],
+    }
+    with open(f"{tmpdir}/fc.geojson", "w") as f:
+        json.dump(fc, f)
+    df = FL.read_geojson(spark, f"{tmpdir}/fc.geojson")
+    rows = {r["kind"]: r for r in df.collect()}
+    assert rows["LineString"]["geom"] == [-105.0, 40.0, -104.99, 40.01]
+    assert rows["LineString"]["tags"]["name"] == "Elk Road"
+    assert rows["Point"]["geom"] == [-105.5, 39.5]
+
+    FL.write_geojson_lines(df, f"{tmpdir}/out")
+    back = [json.loads(r["value"]) for r in spark.read.text(f"{tmpdir}/out").collect()]
+    assert len(back) == 2
+    line = [b for b in back if b["geometry"]["type"] == "LineString"][0]
+    assert line["geometry"]["coordinates"] == [[-105.0, 40.0], [-104.99, 40.01]]
+    assert line["properties"]["name"] == "Elk Road"
+
+
+OSM_XML = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version="0.6">
+  <node id="101" version="2" lon="-105.0" lat="40.0"/>
+  <node id="102" version="1" lon="-104.99" lat="40.01">
+    <tag k="amenity" v="parking"/>
+    <tag k="tiger:county" v="Routt"/>
+  </node>
+  <way id="7" version="3">
+    <nd ref="101"/>
+    <nd ref="102"/>
+    <tag k="highway" v="track"/>
+    <tag k="name" v="Elk Road"/>
+  </way>
+</osm>
+"""
+
+
+def test_osm_xml_scan_and_way_build(spark, tmpdir):
+    with open(f"{tmpdir}/test.osm", "w") as f:
+        f.write(OSM_XML)
+    osm = FL.read_osm_xml(spark, f"{tmpdir}/test.osm")
+    rows = {(r["kind"], r["osm_id"]): r for r in osm.collect()}
+    assert rows[("node", 102)]["tags"] == {"amenity": "parking"}  # tiger dropped
+    assert rows[("way", 7)]["refs"] == [101, 102]
+    ways = FL.build_way_geometries(osm).collect()
+    assert len(ways) == 1
+    assert ways[0]["geom"] == [-105.0, 40.0, -104.99, 40.01]
+    assert ways[0]["tags"]["name"] == "Elk Road"
+
+
+def test_osm_xml_sink(spark, tmpdir):
+    with open(f"{tmpdir}/test.osm", "w") as f:
+        f.write(OSM_XML)
+    osm = FL.read_osm_xml(spark, f"{tmpdir}/test.osm")
+    ways = FL.build_way_geometries(osm)
+    ways_refs = osm.filter(F.col("kind") == "way")
+    xml = FL.to_osm_xml(ways_refs, kind="way", modify=True).collect()[0]["xml"]
+    assert 'action="modify"' in xml
+    assert 'version="4"' in xml  # 3 + 1
+    assert '<nd ref="101"/>' in xml
+    assert '<tag k="highway" v="track"/>' in xml
+    assert xml.startswith("<way") and xml.endswith("</way>")
