@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# corpus scale-up so the conflation job is compute-bound (not
+# scheduler-overhead-bound) — the regime a 100 TB cluster run lives in
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "4"))
+N_PTS = int(os.environ.get("SPARK_GRAFT_BENCH_NPTS", "5"))
 
 
 def build_spark(cores: int):
@@ -64,7 +68,9 @@ def run_conflation(spark, sf_dir: str) -> tuple[int, float]:
     warmup(spark)
     t0 = time.time()
     conflated, new = C.conflate(
-        synth.external_ways(spark, sf_dir), synth.osm_ways(spark, sf_dir)
+        synth.external_ways(spark, sf_dir, replicas=REPLICAS, n_pts=N_PTS),
+        synth.osm_ways(spark, sf_dir, replicas=REPLICAS, n_pts=N_PTS),
+        salt_hot_threshold=2000,  # the engine's hot-cell split (north rule)
     )
     n = conflated.count() + new.count()
     return n, time.time() - t0

@@ -59,27 +59,36 @@ LENGTH_MISMATCH_M = 1000.0
 # ---------------------------------------------------------------------------
 
 
-def cover_udf(zoom: int, ring: int = 0):
-    """pandas UDF: geom array<double> → array<long> covering cells
-    (optionally ring-expanded) — one vectorized pass per Arrow batch."""
+_COVER_SCHEMA = T.StructType(
+    [
+        T.StructField("cells", T.ArrayType(T.LongType())),
+        T.StructField("bbox", T.ArrayType(T.DoubleType())),  # [min_lon,min_lat,max_lon,max_lat]
+    ]
+)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _cover(geoms: pd.Series) -> pd.Series:
+
+def cover_udf(zoom: int, pad_m: float = 0.0):
+    """pandas UDF: geom array<double> → (covering cells, bbox) in one
+    vectorized pass per Arrow batch.  ``pad_m`` applies the border-epsilon
+    expansion (neighbor cells only where the geometry runs within pad_m of a
+    tile border) — ~1.1-1.3x cells versus 9x for a blanket k-ring.  The bbox
+    rides along to power the JVM-side pair prefilter."""
+
+    @F.pandas_udf(_COVER_SCHEMA)
+    def _cover(geoms: pd.Series) -> pd.DataFrame:
         flat, offsets = G.ragged_from_arrays(geoms)
-        cells, rows = grid.cover_polyline(flat, offsets, zoom)
-        if ring > 0 and len(cells):
-            ringed = grid.k_ring(cells, ring)  # (n, (2r+1)^2)
-            rows = np.repeat(rows, ringed.shape[1])
-            cells = ringed.ravel()
-            order = np.lexsort((cells, rows))
-            rows, cells = rows[order], cells[order]
+        cells, rows = grid.cover_polyline(flat, offsets, zoom, pad_m=pad_m)
+        order = np.lexsort((cells, rows))
+        rows, cells = rows[order], cells[order]
+        if len(rows):
             first = np.ones(len(rows), dtype=bool)
             first[1:] = (rows[1:] != rows[:-1]) | (cells[1:] != cells[:-1])
             rows, cells = rows[first], cells[first]
         out = [[] for _ in range(len(geoms))]
         for r, chunk in zip(*_split_runs(rows, cells)):
-            out[r] = chunk.tolist()
-        return pd.Series(out)
+            out[r] = chunk
+        bb = G.bbox_per_row(offsets, flat)
+        return pd.DataFrame({"cells": out, "bbox": list(bb)})
 
     # deterministic in fact — marked nondeterministic so Catalyst materializes
     # the UDF once instead of re-evaluating it per referencing expression
@@ -97,11 +106,17 @@ def _split_runs(rows: np.ndarray, cells: np.ndarray):
     return uniq.tolist(), chunks
 
 
-def with_cells(df: DataFrame, geom_col: str = "geom", zoom: int = grid.DEFAULT_ZOOM, ring: int = 0) -> DataFrame:
+def with_cells(
+    df: DataFrame, geom_col: str = "geom", zoom: int = grid.DEFAULT_ZOOM, pad_m: float = 0.0,
+    keep_bbox: bool = False,
+) -> DataFrame:
     """Explode df to one row per covering cell (the join-key manufacture)."""
-    return df.withColumn("__cells", cover_udf(zoom, ring)(F.col(geom_col))).withColumn(
-        "cell", F.explode("__cells")
-    ).drop("__cells")
+    out = df.withColumn("__cov", cover_udf(zoom, pad_m)(F.col(geom_col)))
+    cols = ["*", F.explode("__cov.cells").alias("cell")]
+    out = out.select(*cols)
+    if keep_bbox:
+        out = out.withColumn("bbox", F.col("__cov.bbox"))
+    return out.drop("__cov")
 
 
 # ---------------------------------------------------------------------------
@@ -208,19 +223,23 @@ def candidate_pairs(
     secondary:(way_id, geom, ...)   — covered side
     Returns distinct (ext_id, way_id) candidate pairs with both geoms+tags.
     """
-    ring = grid.ring_for_threshold(threshold_m, zoom, max_abs_lat)
-    # Late materialization: the cell join runs over NARROW (id, cell) rows
-    # only — a skewed hot cell then costs long-pairs, not wide payload rows,
-    # and the shuffle moves a fraction of the bytes.  Payloads re-attach
-    # after pair dedupe via two evenly-hashed id joins.
+    # Late materialization: the cell join runs over NARROW (id, cell, bbox)
+    # rows only — a skewed hot cell then costs slim pairs, not wide payload
+    # rows, and the shuffle moves a fraction of the bytes.  Payloads
+    # re-attach after pair dedupe via two evenly-hashed id joins.
     p_payload = primary.select(
         "ext_id", F.col("geom").alias("geom_p"), F.col("tags").alias("tags_p")
     )
     s_payload = secondary.select(
         "way_id", F.col("geom").alias("geom_s"), F.col("tags").alias("tags_s"), "version"
     )
-    p = with_cells(primary.select("ext_id", "geom"), "geom", zoom, ring).select("ext_id", "cell")
-    s = with_cells(secondary.select("way_id", "geom"), "geom", zoom, 0).select("way_id", "cell")
+    # border-epsilon pad on the primary side replaces the 9x k-ring explode
+    p = with_cells(primary.select("ext_id", "geom"), "geom", zoom, pad_m=threshold_m, keep_bbox=True).select(
+        "ext_id", "cell", F.col("bbox").alias("bbox_p")
+    )
+    s = with_cells(secondary.select("way_id", "geom"), "geom", zoom, pad_m=0.0, keep_bbox=True).select(
+        "way_id", "cell", F.col("bbox").alias("bbox_s")
+    )
 
     if salt_hot_threshold:
         counts = s.groupBy("cell").agg(F.count("*").alias("cnt"))
@@ -229,6 +248,30 @@ def candidate_pairs(
         joined = p2.join(s2, ["cell", "salt"])
     else:
         joined = p.join(s, "cell")
+
+    # JVM-side bbox-gap prefilter: equirectangular bbox distance lower-bounds
+    # the true distance, so pairs whose boxes sit further apart than the
+    # threshold can never match — they are dropped before the expensive
+    # kernel (and before the dedupe shuffle).
+    lon_gap = F.greatest(
+        F.greatest(F.element_at("bbox_p", 1), F.element_at("bbox_s", 1))
+        - F.least(F.element_at("bbox_p", 3), F.element_at("bbox_s", 3)),
+        F.lit(0.0),
+    )
+    lat_gap = F.greatest(
+        F.greatest(F.element_at("bbox_p", 2), F.element_at("bbox_s", 2))
+        - F.least(F.element_at("bbox_p", 4), F.element_at("bbox_s", 4)),
+        F.lit(0.0),
+    )
+    max_abs = F.greatest(
+        F.abs(F.element_at("bbox_p", 2)), F.abs(F.element_at("bbox_p", 4)),
+        F.abs(F.element_at("bbox_s", 2)), F.abs(F.element_at("bbox_s", 4)),
+    )
+    # cos at the pair's max |lat| under-estimates lon meters → conservative
+    gap_m = F.sqrt(
+        F.pow(lon_gap * 111_320.0 * F.cos(F.radians(max_abs)), 2) + F.pow(lat_gap * 110_540.0, 2)
+    )
+    joined = joined.filter(gap_m <= threshold_m)
 
     pairs = joined.select("ext_id", "way_id").dropDuplicates(["ext_id", "way_id"])
     return pairs.join(p_payload, "ext_id").join(s_payload, "way_id")

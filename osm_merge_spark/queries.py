@@ -990,10 +990,10 @@ geo AS (
          ELSE -109.0 + {_U_SQL.format(s=1)} * 5.0 END AS x0,
     CASE WHEN k % 100 = 7 THEN 39.0 + {_U_SQL.format(s=12)} * 0.01
          ELSE 37.0 + {_U_SQL.format(s=2)} * 3.5 END + 0.0 AS y0,
-    ({_U_SQL.format(s=3)} - 0.5) * 0.008 AS s1x,
-    ({_U_SQL.format(s=4)} - 0.5) * 0.006 AS s1y,
-    ({_U_SQL.format(s=5)} - 0.5) * 0.008 AS s2x,
-    ({_U_SQL.format(s=6)} - 0.5) * 0.006 AS s2y
+    ({_U_SQL.format(s=3)} - 0.5) * 0.008 * (CASE WHEN k % 100 = 7 THEN 0.05 ELSE 1.0 END) AS s1x,
+    ({_U_SQL.format(s=4)} - 0.5) * 0.006 * (CASE WHEN k % 100 = 7 THEN 0.05 ELSE 1.0 END) AS s1y,
+    ({_U_SQL.format(s=5)} - 0.5) * 0.008 * (CASE WHEN k % 100 = 7 THEN 0.05 ELSE 1.0 END) AS s2x,
+    ({_U_SQL.format(s=6)} - 0.5) * 0.006 * (CASE WHEN k % 100 = 7 THEN 0.05 ELSE 1.0 END) AS s2y
   FROM k
 ),
 parts AS (
@@ -1076,3 +1076,133 @@ def q_media_features(spark, sf_dir):
         "payload", M.synth_payload("media_ref")
     )
     return M.extract_media_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Converter family (P8 full spec) + raster↔vector overlay
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_converter_mvum",
+    r"""
+    WITH src AS (
+      SELECT p_partkey AS gid,
+             p_name AS name,
+             CAST((p_partkey % 900) + 100 AS VARCHAR) AS id,
+             CAST((p_partkey % 5) + 1 AS VARCHAR) AS sur_code,
+             CAST((p_partkey % 5) + 1 AS VARCHAR) AS smo_code,
+             CASE WHEN p_partkey % 3 = 0 THEN 'RD' WHEN p_partkey % 3 = 1 THEN 'TR' ELSE 'HWY' END AS hw_code,
+             CASE WHEN p_partkey % 2 = 0 THEN 'Y' ELSE 'N' END AS atv
+      FROM part
+    )
+    SELECT gid,
+      array_to_string(list_transform(string_split(regexp_replace(trim(name), '\s+', ' ', 'g'), ' '),
+        w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ') AS name_norm,
+      'FR ' || id AS ref_norm,
+      CASE sur_code WHEN '1' THEN 'dirt' WHEN '2' THEN 'gravel' WHEN '3' THEN 'paved'
+                    WHEN '4' THEN 'compacted' WHEN '5' THEN 'ground' END AS surface,
+      CASE smo_code WHEN '1' THEN 'very_horrible' WHEN '2' THEN 'horrible' WHEN '3' THEN 'very_bad'
+                    WHEN '4' THEN 'bad' WHEN '5' THEN 'intermediate' END AS smoothness,
+      CASE hw_code WHEN 'RD' THEN 'track' WHEN 'TR' THEN 'path' WHEN 'HWY' THEN 'unclassified' END AS highway,
+      CASE WHEN atv = 'Y' THEN 'designated' END AS atv_access,
+      'US Forest Service' AS operator
+    FROM src ORDER BY gid
+    """,
+)
+def q_converter_mvum(spark, sf_dir):
+    """P8 full converter: MVUM-shaped spec through the declarative converter
+    engine (`mvum.py:111-245` semantics: code tables, normalization,
+    vehicle→designated, constants)."""
+    from .sources import converters as CV
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    src = p.select(
+        k.alias("gid"),
+        F.col("p_name").alias("name"),
+        ((F.pmod(k, F.lit(900)) + 100).cast("string")).alias("id"),
+        (F.pmod(k, F.lit(5)) + 1).cast("string").alias("sur_code"),
+        (F.pmod(k, F.lit(5)) + 1).cast("string").alias("smo_code"),
+        F.when(F.pmod(k, F.lit(3)) == 0, "RD").when(F.pmod(k, F.lit(3)) == 1, "TR").otherwise("HWY").alias("hw_code"),
+        F.when(F.pmod(k, F.lit(2)) == 0, "Y").otherwise("N").alias("atv"),
+    )
+    out = CV.convert(src, CV.MVUM_SPEC, keep_cols=["gid"])
+    t = F.col("tags")
+    return out.select(
+        "gid",
+        F.element_at(t, F.lit("name")).alias("name_norm"),
+        F.element_at(t, F.lit("ref:usfs")).alias("ref_norm"),
+        F.element_at(t, F.lit("surface")).alias("surface"),
+        F.element_at(t, F.lit("smoothness")).alias("smoothness"),
+        F.element_at(t, F.lit("highway")).alias("highway"),
+        F.element_at(t, F.lit("atv")).alias("atv_access"),
+        F.element_at(t, F.lit("operator")).alias("operator"),
+    ).orderBy("gid")
+
+
+
+@register(
+    "q_raster_vector_join",
+    f"""
+    WITH pts AS ({CUST_PT_SQL.strip()}),
+    sup AS ({SUPP_PT_SQL.strip()}),
+    media AS (
+      SELECT s_suppkey,
+             CAST(floor((lon + 180.0) / 360.0 * 16384) AS BIGINT) AS tx,
+             CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 16384) AS BIGINT) AS ty
+      FROM sup
+    ),
+    tiles AS (
+      SELECT s_suppkey,
+             tx / 16384.0 * 360.0 - 180.0 AS nw_lon,
+             degrees(atan((exp(pi() * (1.0 - 2.0 * ty / 16384.0)) - exp(-pi() * (1.0 - 2.0 * ty / 16384.0))) / 2.0)) AS nw_lat
+      FROM media
+    ),
+    cells AS (
+      SELECT s_suppkey,
+             CAST(floor((nw_lon + 180.0) / 360.0 * 4096) AS BIGINT) AS cx,
+             CAST(floor((1.0 - ln(tan(radians(nw_lat)) + 1.0/cos(radians(nw_lat))) / pi()) / 2.0 * 4096) AS BIGINT) AS cy
+      FROM tiles
+    ),
+    vec AS (
+      SELECT c_custkey,
+             CAST(floor((lon + 180.0) / 360.0 * 4096) AS BIGINT) AS cx,
+             CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 4096) AS BIGINT) AS cy
+      FROM pts
+    )
+    SELECT v.c_custkey, c.s_suppkey
+    FROM vec v JOIN cells c ON v.cx = c.cx AND v.cy = c.cy
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def q_raster_vector_join(spark, sf_dir):
+    """Raster↔vector overlay: each supplier's z14 imagery tile (the media_ref
+    z/y/x key space, `basemapper.py:186-199`) → NW corner via
+    `media.tile_lonlat` → z12 cell, equi-joined against vector point cells —
+    imagery-derived candidates land on the same manufactured key as vector
+    features."""
+    z_tile, z_cell = 14, 12
+    n_t, n_c = 1 << z_tile, 1 << z_cell
+
+    def to_cell(lon_col, lat_col):
+        return (
+            F.floor((lon_col + 180.0) / 360.0 * n_c).cast("long").alias("cx"),
+            F.floor(
+                (1.0 - F.log(F.tan(F.radians(lat_col)) + 1.0 / F.cos(F.radians(lat_col))) / float(np.pi)) / 2.0 * n_c
+            ).cast("long").alias("cy"),
+        )
+
+    sup = supplier_points(spark, sf_dir)
+    media = sup.select(
+        "s_suppkey",
+        F.floor((F.col("lon") + 180.0) / 360.0 * n_t).cast("long").alias("tx"),
+        F.floor(
+            (1.0 - F.log(F.tan(F.radians("lat")) + 1.0 / F.cos(F.radians("lat"))) / float(np.pi)) / 2.0 * n_t
+        ).cast("long").alias("ty"),
+    )
+    nw_lon, nw_lat = M.tile_lonlat(F.lit(z_tile), F.col("tx"), F.col("ty"))
+    tiles = media.select("s_suppkey", nw_lon.alias("nw_lon"), nw_lat.alias("nw_lat"))
+    cells = tiles.select("s_suppkey", *to_cell(F.col("nw_lon"), F.col("nw_lat")))
+    vec = customer_points(spark, sf_dir).select("c_custkey", *to_cell(F.col("lon"), F.col("lat")))
+    return vec.join(cells, ["cx", "cy"]).select("c_custkey", "s_suppkey").orderBy("c_custkey", "s_suppkey")

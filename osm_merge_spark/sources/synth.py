@@ -66,23 +66,29 @@ def base_lonlat(key):
     return lon, lat
 
 
-def way_geom(key, jitter_deg=None, n_extra_salt: int = 0):
-    """A 3-vertex polyline: anchor + two continuation segments (~100-500 m
-    each), as a flat [x0,y0,x1,y1,x2,y2] array column.  ``jitter_deg``
-    (Column or None) shifts every vertex — the external-dataset perturbation."""
+def way_geom(key, jitter_deg=None, n_pts: int = 3):
+    """An ``n_pts``-vertex polyline: anchor + continuation segments
+    (~100-500 m each), as a flat [x0,y0,x1,y1,...] array column.
+    ``jitter_deg`` (Column or None) shifts every vertex — the
+    external-dataset perturbation.  The default 3-vertex form is the shape
+    the SQL oracles encode; larger ``n_pts`` raises per-pair kernel cost for
+    compute-bound benchmarking."""
     lon, lat = base_lonlat(key)
     # jitter shifts latitude only, so displacement in meters is exactly
     # jitter_deg * M_PER_DEG_LAT (keeps fixture distances on the right side
     # of the 7 m threshold)
     jx = jitter_deg if jitter_deg is not None else F.lit(0.0)
-    step1x = (_u(key, 3) - 0.5) * 0.008
-    step1y = (_u(key, 4) - 0.5) * 0.006
-    step2x = (_u(key, 5) - 0.5) * 0.008
-    step2y = (_u(key, 6) - 0.5) * 0.006
-    x0, y0 = lon, lat + jx
-    x1, y1 = x0 + step1x, y0 + step1y
-    x2, y2 = x1 + step2x, y1 + step2y
-    return F.array(*(c.cast("double") for c in (x0, y0, x1, y1, x2, y2)))
+    # hot-box (urban) ways are short, like real city streets: segment steps
+    # scale down 20x so density stresses the *join key* (many ways per cell)
+    # without implying quadratic true-candidate work (stacked multi-km lines)
+    scale = F.when(F.pmod(key, F.lit(100)) == 7, F.lit(0.05)).otherwise(F.lit(1.0))
+    x, y = lon, lat + jx
+    coords = [x, y]
+    for i in range(n_pts - 1):
+        x = x + (_u(key, 3 + 2 * i) - 0.5) * 0.008 * scale
+        y = y + (_u(key, 4 + 2 * i) - 0.5) * 0.006 * scale
+        coords += [x, y]
+    return F.array(*(c.cast("double") for c in coords))
 
 
 def way_name(key, abbreviated: bool = False):
@@ -100,14 +106,34 @@ def way_ref(key, prefix: str = "FR"):
     return F.concat(F.lit(prefix + " "), num.cast("string"), sub)
 
 
-def osm_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders scan, re-split to the session's parallelism: the parquet file
+    is a few MB (one split) but the derived-geometry + cell-cover work per
+    row is heavy — without the repartition the whole corpus would be
+    generated on one core (the classic small-input/large-compute trap)."""
+    n = spark.sparkContext.defaultParallelism * 2
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(n, "o_orderkey")
+
+
+def _replicate(orders: DataFrame, replicas: int) -> DataFrame:
+    """Corpus scale-up for benchmarking: K replicas with disjoint key ranges
+    (every replica re-derives fresh positions/names from its shifted key, so
+    density scales uniformly, hot box included)."""
+    if replicas <= 1:
+        return orders
+    return orders.select(
+        F.explode(F.array(*[F.col("o_orderkey") + j * 50_000_000 for j in range(replicas)])).alias("o_orderkey")
+    )
+
+
+def osm_ways(spark: SparkSession, sf_dir: str, replicas: int = 1, n_pts: int = 3) -> DataFrame:
     """Secondary dataset: one OSM-style way per orders row."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _replicate(_orders(spark, sf_dir), replicas)
     k = F.col("o_orderkey")
     return (
         orders.select(
             k.alias("way_id"),
-            way_geom(k).alias("geom"),
+            way_geom(k, n_pts=n_pts).alias("geom"),
             way_name(k).alias("name"),
             way_ref(k, "FR").alias("ref"),
             _pick(k, 23, _HW).alias("highway"),
@@ -131,7 +157,7 @@ def osm_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def external_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+def external_ways(spark: SparkSession, sf_dir: str, replicas: int = 1, n_pts: int = 3) -> DataFrame:
     """Primary dataset (MVUM-like): jittered twins of 90% of osm_ways plus
     ~11% novel ways.  Perturbations per key:
 
@@ -142,7 +168,7 @@ def external_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     - keys ≡ 3 (mod 10) are *dropped* (those OSM ways get no match);
     - novel ways keyed off lineitem with no orders counterpart pattern.
     """
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _replicate(_orders(spark, sf_dir), replicas)
     k = F.col("o_orderkey")
     jitter_m = F.when(F.pmod(k, F.lit(10)) == 8, 12.0 + _u(k, 31) * 6.0).otherwise(_u(k, 31) * 6.0)
     jitter_deg = jitter_m / 110_540.0  # latitude-only shift (see way_geom)
@@ -151,7 +177,7 @@ def external_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (-k).alias("ext_id"),
             k.alias("src_key"),
-            way_geom(k, jitter_deg=jitter_deg).alias("geom"),
+            way_geom(k, jitter_deg=jitter_deg, n_pts=n_pts).alias("geom"),
             way_name(k, abbreviated=True).alias("name"),
             way_ref(k, "FS").alias("ref"),
         )
@@ -163,7 +189,7 @@ def external_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (-(F.col("o_orderkey") + 100_000_000)).alias("ext_id"),
             F.lit(None).cast("bigint").alias("src_key"),
-            way_geom(m).alias("geom"),
+            way_geom(m, n_pts=n_pts).alias("geom"),
             way_name(m).alias("name"),
             way_ref(m, "CR").alias("ref"),
         )

@@ -78,11 +78,12 @@ def main(names: list[str]) -> int:
             for c in cols:
                 gv, ev = g[c], e[c]
                 if gv.dtype.kind == "f" or ev.dtype.kind == "f":
-                    ok = np.allclose(gv.astype(float), ev.astype(float), atol=0, rtol=0, equal_nan=True)
+                    mism = ~np.isclose(gv.astype(float), ev.astype(float), atol=0, rtol=0, equal_nan=True)
                 else:
-                    ok = (gv.astype(object).where(pd.notna(gv), None) == ev.astype(object).where(pd.notna(ev), None)).all()
+                    both_null = gv.isna() & ev.isna()
+                    mism = ~(both_null | (gv == ev))
+                ok = not np.asarray(mism).any()
                 if not ok:
-                    mism = (gv != ev) if gv.dtype.kind != "f" else ~np.isclose(gv.astype(float), ev.astype(float), atol=0, rtol=0, equal_nan=True)
                     idx = np.nonzero(np.asarray(mism))[0][:3]
                     problems.append(
                         f"col {c}: {int(np.asarray(mism).sum())} mismatches, e.g. rows {idx.tolist()}: "
