@@ -224,7 +224,9 @@ def cover_polyline(
     mx = 111_320.0 * np.cos(np.radians(mean_lat))
     my = 110_540.0
     seg_len = np.hypot((seg_b[:, 0] - seg_a[:, 0]) * mx, (seg_b[:, 1] - seg_a[:, 1]) * my)
-    step = cell_size_m(z, float(np.max(np.abs(mean_lat)))) / 2.0
+    # per-segment step (batch-max would make the cover depend on how rows
+    # are batched — cover must be a pure function of the geometry)
+    step = EARTH_CIRCUMFERENCE_M * np.cos(np.radians(mean_lat)) / (1 << z) / 2.0
     n_samp = np.clip(np.ceil(seg_len / step).astype(np.int64) + 1, 2, 512)
 
     total = int(n_samp.sum())

@@ -227,11 +227,23 @@ def candidate_pairs(
     # rows only — a skewed hot cell then costs slim pairs, not wide payload
     # rows, and the shuffle moves a fraction of the bytes.  Payloads
     # re-attach after pair dedupe via two evenly-hashed id joins.
+    # Normalization runs HERE, once per feature — not per candidate pair.
+    # (name normalization is a 14-regex chain; evaluating it per pair
+    # multiplied JVM cost ~10x on dense corpora.)
     p_payload = primary.select(
-        "ext_id", F.col("geom").alias("geom_p"), F.col("tags").alias("tags_p")
+        "ext_id",
+        F.col("geom").alias("geom_p"),
+        F.col("tags").alias("tags_p"),
+        TG.normalize_name(F.element_at("tags", F.lit("name"))).alias("name_norm_p"),
+        TG.ref_number(F.element_at("tags", F.lit("ref:usfs"))).alias("ref_num_p"),
     )
     s_payload = secondary.select(
-        "way_id", F.col("geom").alias("geom_s"), F.col("tags").alias("tags_s"), "version"
+        "way_id",
+        F.col("geom").alias("geom_s"),
+        F.col("tags").alias("tags_s"),
+        "version",
+        TG.normalize_name(F.element_at("tags", F.lit("name"))).alias("name_norm_s"),
+        TG.ref_number(F.element_at("tags", F.lit("ref:usfs"))).alias("ref_num_s"),
     )
     # border-epsilon pad on the primary side replaces the 9x k-ring explode
     p = with_cells(primary.select("ext_id", "geom"), "geom", zoom, pad_m=threshold_m, keep_bbox=True).select(
@@ -288,10 +300,10 @@ def score_pairs(pairs: DataFrame, threshold_m: float = DEFAULT_THRESHOLD_M) -> D
         "*", F.col("g.dist").alias("dist"), F.col("g.dslope").alias("dslope"), F.col("g.angle").alias("angle")
     ).drop("g")
 
-    name_p = TG.normalize_name(F.element_at("tags_p", F.lit("name")))
-    name_s = TG.normalize_name(F.element_at("tags_s", F.lit("name")))
-    ref_p = TG.ref_number(F.element_at("tags_p", F.lit("ref:usfs")))
-    ref_s = TG.ref_number(F.element_at("tags_s", F.lit("ref:usfs")))
+    # pre-normalized on the feature tables (see candidate_pairs) — per-pair
+    # work is just the levenshtein ratio + equality
+    name_p, name_s = F.col("name_norm_p"), F.col("name_norm_s")
+    ref_p, ref_s = F.col("ref_num_p"), F.col("ref_num_s")
 
     scored = (
         scored.withColumn(

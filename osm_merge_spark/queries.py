@@ -18,7 +18,9 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1206,3 +1208,68 @@ def q_raster_vector_join(spark, sf_dir):
     cells = tiles.select("s_suppkey", *to_cell(F.col("nw_lon"), F.col("nw_lat")))
     vec = customer_points(spark, sf_dir).select("c_custkey", *to_cell(F.col("lon"), F.col("lat")))
     return vec.join(cells, ["cx", "cy"]).select("c_custkey", "s_suppkey").orderBy("c_custkey", "s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# P5/P6 — boundary (point-in-polygon) clip + P10 simplification
+# ---------------------------------------------------------------------------
+
+# convex AOI pentagon (lon lat), closed ring
+_AOI_RING = [
+    (-108.5, 37.5), (-105.0, 37.2), (-104.3, 39.0), (-106.0, 40.4), (-108.8, 39.5),
+    (-108.5, 37.5),
+]
+_PIP_SQL_TERMS = " + ".join(
+    (
+        f"(CASE WHEN (({y1} > lat) <> ({y2} > lat)) AND "
+        f"(lon < ({x2} - {x1}) * (lat - {y1}) / ({y2} - {y1}) + {x1}) THEN 1 ELSE 0 END)"
+    )
+    for (x1, y1), (x2, y2) in zip(_AOI_RING[:-1], _AOI_RING[1:])
+)
+
+
+@register(
+    "q_boundary_clip",
+    f"""
+    WITH pts AS ({CUST_PT_SQL.strip()})
+    SELECT c_custkey, lon, lat
+    FROM pts
+    WHERE ({_PIP_SQL_TERMS}) % 2 = 1
+    ORDER BY c_custkey
+    """,
+)
+def q_boundary_clip(spark, sf_dir):
+    """P5/P6: AOI clip — keep points inside the boundary polygon, through
+    the engine's ray-cast PIP kernel (`geosupport.py:139-173` /
+    `conflatePOI.py:405-407` semantics) in one Arrow batch pass."""
+    from . import geometry as G
+
+    ring = np.array(_AOI_RING, dtype=np.float64)
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        n = len(lon)
+        poly = np.broadcast_to(ring, (n, *ring.shape))
+        return pd.Series(G.point_in_polygon(lon.to_numpy(), lat.to_numpy(), poly))
+
+    pts = customer_points(spark, sf_dir)
+    return pts.filter(pip("lon", "lat")).select("c_custkey", "lon", "lat").orderBy("c_custkey")
+
+
+@register("q_simplify_lines", None)
+def q_simplify_lines(spark, sf_dir):
+    """P10: radial geometry simplification (`mvum.py:236-242` stand-in for
+    shapely.simplify) over dense synthetic polylines — rows-only (kernel
+    correctness pinned in tests/test_geometry.py)."""
+    from . import geometry as G
+
+    ways = synth.osm_ways(spark, sf_dir, n_pts=8)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def simplify(geoms: pd.Series) -> pd.Series:
+        flat, off = G.ragged_from_arrays(geoms)
+        no, nf = G.simplify_radial(off, flat, tol_deg=1e-3)
+        return pd.Series(G.arrays_from_ragged(no, nf))
+
+    out = ways.select("way_id", simplify("geom").alias("geom_simplified"), F.size("geom").alias("n_before"))
+    return out.select("way_id", (F.size("geom_simplified") / 2).alias("n_after"), (F.col("n_before") / 2).alias("n_pts"))

@@ -187,7 +187,9 @@ def external_ways(spark: SparkSession, sf_dir: str, replicas: int = 1, n_pts: in
     novel = (
         orders.filter(F.pmod(F.col("o_orderkey"), F.lit(9)) == 4)
         .select(
-            (-(F.col("o_orderkey") + 100_000_000)).alias("ext_id"),
+            # novel ids live far outside any replicated twin key range
+            # (replica offsets are j*50M — a 1B offset can never collide)
+            (-(F.col("o_orderkey") + 1_000_000_000)).alias("ext_id"),
             F.lit(None).cast("bigint").alias("src_key"),
             way_geom(m, n_pts=n_pts).alias("geom"),
             way_name(m).alias("name"),
