@@ -39,6 +39,7 @@ DEFAULT_PAD_DEG = 0.05
 _EXTENT_SCHEMA = T.StructType(
     [
         T.StructField("anchor_x", T.DoubleType()),
+        T.StructField("anchor_y", T.DoubleType()),
         T.StructField("min_x", T.DoubleType()),
         T.StructField("max_x", T.DoubleType()),
     ]
@@ -50,11 +51,13 @@ def _extent_udf(geoms: pd.Series) -> pd.DataFrame:
     flat, offsets = G.ragged_from_arrays(geoms)
     n = len(offsets) - 1
     anchor = np.full(n, np.nan)
+    anchor_y = np.full(n, np.nan)
     has = np.diff(offsets) > 0
     if flat.shape[0]:
         anchor[has] = flat[offsets[:-1][has], 0]
+        anchor_y[has] = flat[offsets[:-1][has], 1]
     bb = G.bbox_per_row(offsets, flat)
-    return pd.DataFrame({"anchor_x": anchor, "min_x": bb[:, 0], "max_x": bb[:, 2]})
+    return pd.DataFrame({"anchor_x": anchor, "anchor_y": anchor_y, "min_x": bb[:, 0], "max_x": bb[:, 2]})
 
 
 def with_tile_columns(df: DataFrame, geom_col: str = "geom", pad_m: float = 7.0) -> DataFrame:
@@ -62,6 +65,7 @@ def with_tile_columns(df: DataFrame, geom_col: str = "geom", pad_m: float = 7.0)
     return df.withColumn("__e", _extent_udf(F.col(geom_col))).select(
         "*",
         F.col("__e.anchor_x").alias("anchor_x"),
+        F.col("__e.anchor_y").alias("anchor_y"),
         F.col("__e.min_x").alias("min_x"),
         F.col("__e.max_x").alias("max_x"),
     ).drop("__e")
@@ -69,11 +73,43 @@ def with_tile_columns(df: DataFrame, geom_col: str = "geom", pad_m: float = 7.0)
 
 def range_boundaries(primary_with_tiles: DataFrame, k: int) -> list[float]:
     """K-quantile anchor-longitude boundaries (the range-partitioner's
-    split points)."""
+    split points), weighted by row count only."""
     if k <= 1:
         return []
     qs = [i / k for i in range(1, k)]
     return [float(b) for b in primary_with_tiles.approxQuantile("anchor_x", qs, 0.001)]
+
+
+def cost_weighted_boundaries(
+    primary_with_tiles: DataFrame, k: int, density_z: int = 14
+) -> list[float]:
+    """Cost-aware split points: each feature weighted by the local feature
+    density (count of anchors sharing its z-``density_z`` mercator column),
+    since candidate-pair work per feature scales with density.  This is the
+    same frequency pre-pass that feeds hot-cell salting, reused as the
+    range-partitioner's cost model — dense urban strips get narrower ranges.
+    """
+    if k <= 1:
+        return []
+    from pyspark.sql.window import Window
+
+    # 2D density: weight(feature) = anchors sharing its ~1-2 km cell, which
+    # is proportional to its candidate-pair degree
+    n = 1 << density_z
+    cx = F.floor((F.col("anchor_x") + 180.0) / 360.0 * n).cast("long")
+    cy = F.floor((F.col("anchor_y") + 90.0) / 180.0 * n).cast("long")
+    with_cell = primary_with_tiles.select("anchor_x", cx.alias("cx"), cy.alias("cy"))
+    dens = with_cell.groupBy("cx", "cy").agg(F.count("*").alias("w"))
+    weighted = with_cell.join(dens, ["cx", "cy"]).select("anchor_x", "w")
+    total = weighted.agg(F.sum("w")).collect()[0][0]
+    cum = weighted.withColumn(
+        "cw", F.sum("w").over(Window.orderBy("anchor_x").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    bounds = []
+    for i in range(1, k):
+        row = cum.filter(F.col("cw") >= total * i / k).agg(F.min("anchor_x")).collect()[0][0]
+        bounds.append(float(row))
+    return bounds
 
 
 def owned_range(boundaries: list[float], rank: int) -> tuple[float, float]:

@@ -182,8 +182,9 @@ def external_ways(spark: SparkSession, sf_dir: str, replicas: int = 1, n_pts: in
             way_ref(k, "FS").alias("ref"),
         )
     )
-    # novel ways: anchor far from any twin (offset by half the AOI diagonal)
-    m = F.col("o_orderkey") * 13 + 5  # keys outside the orders key pattern
+    # novel ways: geometry derived from a remixed key (bounded so the hash
+    # multiplier in _u never overflows int64 at high replica counts)
+    m = F.pmod(F.col("o_orderkey") * 13 + 5, F.lit(40_000_000))
     novel = (
         orders.filter(F.pmod(F.col("o_orderkey"), F.lit(9)) == 4)
         .select(

@@ -67,8 +67,8 @@ def executor(rank: int, k: int) -> None:
     bounds = json.load(open(BOUNDS))[str(k)]
     ext = spark.read.parquet(EXT_T)
     osm = spark.read.parquet(OSM_T)
-    my_ext = DST.primary_slice(ext, bounds, rank).drop("anchor_x", "min_x", "max_x")
-    my_osm = DST.secondary_slice(osm, bounds, rank).drop("anchor_x", "min_x", "max_x")
+    my_ext = DST.primary_slice(ext, bounds, rank).drop("anchor_x", "anchor_y", "min_x", "max_x")
+    my_osm = DST.secondary_slice(osm, bounds, rank).drop("anchor_x", "anchor_y", "min_x", "max_x")
     t0 = time.time()
     conflated, new = C.conflate(my_ext, my_osm, salt_hot_threshold=2000)
     n = conflated.count() + new.count()

@@ -20,7 +20,7 @@ def test_executor_slices_cover_and_match(spark):
     osm = DST.with_tile_columns(synth.osm_ways(spark, SF))
 
     single, single_new = C.conflate(
-        ext.drop("anchor_x", "min_x", "max_x"), osm.drop("anchor_x", "min_x", "max_x")
+        ext.drop("anchor_x", "anchor_y", "min_x", "max_x"), osm.drop("anchor_x", "anchor_y", "min_x", "max_x")
     )
     expected = _pairs(single)
     expected_new = {r["ext_id"] for r in single_new.select("ext_id").collect()}
@@ -31,8 +31,8 @@ def test_executor_slices_cover_and_match(spark):
     got_new = set()
     n_primary = 0
     for rank in range(k):
-        p = DST.primary_slice(ext, bounds, rank).drop("anchor_x", "min_x", "max_x")
-        s = DST.secondary_slice(osm, bounds, rank).drop("anchor_x", "min_x", "max_x")
+        p = DST.primary_slice(ext, bounds, rank).drop("anchor_x", "anchor_y", "min_x", "max_x")
+        s = DST.secondary_slice(osm, bounds, rank).drop("anchor_x", "anchor_y", "min_x", "max_x")
         n_primary += p.count()
         conflated, new = C.conflate(p, s)
         got |= _pairs(conflated)
