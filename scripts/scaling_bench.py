@@ -112,12 +112,18 @@ def run_fleet_isolated(k: int) -> dict:
     wall = max over executors (they would run in parallel on real hardware;
     they share nothing: work division is by range ownership, no shuffle
     crosses executors)."""
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     results = []
     for r in range(k):
-        p = _spawn(r, k)
-        o, _ = p.communicate(timeout=1800)
-        line = [l for l in o.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
+        best = None
+        for _ in range(repeats):  # best-of-R: the shared box drifts up to 2x
+            p = _spawn(r, k)
+            o, _ = p.communicate(timeout=1800)
+            line = [l for l in o.splitlines() if l.startswith("{")][-1]
+            run = json.loads(line)
+            if best is None or run["secs"] < best["secs"]:
+                best = run
+        results.append(best)
     rows = sum(x["rows"] for x in results)
     wall = max(x["secs"] for x in results)
     return {"executors": k, "mode": "isolated", "rows": rows, "wall_secs": wall,
