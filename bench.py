@@ -165,7 +165,7 @@ def main() -> None:
     result = {
         "metric": "conflated features/sec on synthetic OSM+external merge corpus",
         "value": round(n_conflated / conflate_secs, 1),
-        "unit": "sec",
+        "unit": "features/sec",
         "queries": timings,
         "sf": SF_DIR,
         "conflated_rows": n_conflated,

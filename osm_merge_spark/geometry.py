@@ -65,8 +65,16 @@ def parse_wkt(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if kinds[i] != 0 and lst:
             flat.extend(lst)
     vals = pd.to_numeric(pd.Series(flat), errors="coerce").to_numpy(dtype=np.float64) if flat else np.empty(0)
-    if len(vals) % 2 != 0:  # malformed row somewhere; fail safe to empty
-        vals = vals[: len(vals) - 1]
+    # per-row odd-count trim: a malformed row with an odd number of
+    # coordinates drops ITS last value only — a global trim would shift every
+    # subsequent row's coordinates by one.
+    odd = counts % 2 == 1
+    if odd.any():
+        ends = np.cumsum(counts)
+        mask = np.ones(len(vals), dtype=bool)
+        mask[ends[odd] - 1] = False
+        vals = vals[mask]
+        counts = counts - odd.astype(np.int64)
     flat_xy = vals.reshape(-1, 2)
     offsets = np.zeros(len(s) + 1, dtype=np.int64)
     np.cumsum(counts // 2, out=offsets[1:])

@@ -379,17 +379,18 @@ def conflate(
         F.col("geom_p").alias("geom"),
     )
 
+    # overlay (not map_concat): a primary feature already carrying informal/
+    # fixme would make map_concat throw under mapKeyDedupPolicy=EXCEPTION;
+    # the reference's dict assignment overwrites (`conflator.py:428-430`)
+    marker = F.create_map(
+        F.lit("informal"), F.lit("yes"),
+        F.lit("fixme"), F.lit("New features merged from an external dataset"),
+    )
     new = (
         primary.join(best.select("ext_id"), "ext_id", "left_anti")
         .withColumn(
             "tags",
-            F.map_concat(
-                TG.drop_junk_tags("tags"),
-                F.create_map(
-                    F.lit("informal"), F.lit("yes"),
-                    F.lit("fixme"), F.lit("New features merged from an external dataset"),
-                ),
-            ),
+            F.map_zip_with(TG.drop_junk_tags("tags"), marker, lambda k, vp, vm: F.coalesce(vm, vp)),
         )
         .withColumn("version", F.lit(1))
     )

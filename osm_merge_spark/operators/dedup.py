@@ -64,18 +64,25 @@ def minhash_lsh_pairs(
     """
     rows_per_band = k // bands
     sig = docs.select(F.col(id_col), TX.minhash_signature(F.col(text_col), k).alias("sig"))
+
+    def bucket_key(b: int):
+        vals = [F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        if rows_per_band <= 2:
+            # exact bigint packing (each minhash < 2^31 → product < 2^62):
+            # narrow fixed-width shuffle key, zero collision risk, and
+            # reproducible in ANSI SQL for the oracle
+            key = vals[0].cast("bigint")
+            for v in vals[1:]:
+                key = key * F.lit(2147483647).cast("bigint") + v
+            return key
+        return F.xxhash64(*vals)  # wide bands: 64-bit hash, same key width
+
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_key(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )

@@ -47,11 +47,16 @@ def cosine_topk_bruteforce(
     target_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors (excluding self-pairs when ids collide)."""
-    p = probes.select(F.col(probe_id), F.col(vec_col).alias("p_vec"))
-    t = targets.select(F.col(target_id), F.col(vec_col).alias("t_vec"))
+    """Exact top-k cosine neighbors (excluding self-pairs when ids collide).
+
+    Norms are computed once per ROW before the join (a pair-side norm would
+    redo the O(dim) fold per pair — P·T times instead of P+T)."""
+    p = probes.select(F.col(probe_id), F.col(vec_col).alias("p_vec")).withColumn("p_norm", norm(F.col("p_vec")))
+    t = targets.select(F.col(target_id), F.col(vec_col).alias("t_vec")).withColumn("t_norm", norm(F.col("t_vec")))
     j = p.crossJoin(t).filter(F.col(probe_id) != F.col(target_id))
-    j = j.withColumn("cos_sim", F.round(cosine(F.col("p_vec"), F.col("t_vec")), 6))
+    denom = F.col("p_norm") * F.col("t_norm")
+    cs = F.when(denom == 0, F.lit(0.0)).otherwise(dot(F.col("p_vec"), F.col("t_vec")) / denom)
+    j = j.withColumn("cos_sim", F.round(cs, 6))
     w = Window.partitionBy(probe_id).orderBy(F.desc("cos_sim"), F.asc(target_id))
     return (
         j.withColumn("rank", F.row_number().over(w))
@@ -108,19 +113,26 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: bucket equi-join (n_tables independent LSH tables)
-    then exact cosine within bucket; pair deduped across tables."""
-    p = probes.select(F.col(probe_id), F.col(vec_col).alias("p_vec")).withColumn(
-        "bucket", F.explode(lsh_buckets(F.col("p_vec"), dim, n_planes, n_tables))
+    then exact cosine within bucket; pair deduped across tables.  Norms are
+    precomputed per row (before the bucket explode) — never per pair."""
+    p = (
+        probes.select(F.col(probe_id), F.col(vec_col).alias("p_vec"))
+        .withColumn("p_norm", norm(F.col("p_vec")))
+        .withColumn("bucket", F.explode(lsh_buckets(F.col("p_vec"), dim, n_planes, n_tables)))
     )
-    t = targets.select(F.col(target_id), F.col(vec_col).alias("t_vec")).withColumn(
-        "bucket", F.explode(lsh_buckets(F.col("t_vec"), dim, n_planes, n_tables))
+    t = (
+        targets.select(F.col(target_id), F.col(vec_col).alias("t_vec"))
+        .withColumn("t_norm", norm(F.col("t_vec")))
+        .withColumn("bucket", F.explode(lsh_buckets(F.col("t_vec"), dim, n_planes, n_tables)))
     )
     j = (
         p.join(t, "bucket")
         .filter(F.col(probe_id) != F.col(target_id))
         .dropDuplicates([probe_id, target_id])
     )
-    j = j.withColumn("cos_sim", F.round(cosine(F.col("p_vec"), F.col("t_vec")), 6))
+    denom = F.col("p_norm") * F.col("t_norm")
+    cs = F.when(denom == 0, F.lit(0.0)).otherwise(dot(F.col("p_vec"), F.col("t_vec")) / denom)
+    j = j.withColumn("cos_sim", F.round(cs, 6))
     w = Window.partitionBy(probe_id).orderBy(F.desc("cos_sim"), F.asc(target_id))
     return (
         j.withColumn("rank", F.row_number().over(w))

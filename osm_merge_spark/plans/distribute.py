@@ -91,8 +91,6 @@ def cost_weighted_boundaries(
     """
     if k <= 1:
         return []
-    from pyspark.sql.window import Window
-
     # 2D density: weight(feature) = anchors sharing its ~1-2 km cell, which
     # is proportional to its candidate-pair degree
     n = 1 << density_z
@@ -101,14 +99,33 @@ def cost_weighted_boundaries(
     with_cell = primary_with_tiles.select("anchor_x", cx.alias("cx"), cy.alias("cy"))
     dens = with_cell.groupBy("cx", "cy").agg(F.count("*").alias("w"))
     weighted = with_cell.join(dens, ["cx", "cy"]).select("anchor_x", "w")
-    total = weighted.agg(F.sum("w")).collect()[0][0]
-    cum = weighted.withColumn(
-        "cw", F.sum("w").over(Window.orderBy("anchor_x").rowsBetween(Window.unboundedPreceding, 0))
+    # single-pass weighted quantiles: histogram anchors into fine x-bins
+    # (one shuffle, tiny collect), cumulative-sum the bins driver-side.
+    # (A global Window.orderBy total sort + K filter/collect jobs would scan
+    # the corpus K+1 times through one task — the 100× scale-up killer.)
+    n_bins = 8192
+    lo_hi = weighted.agg(F.min("anchor_x").alias("lo"), F.max("anchor_x").alias("hi")).collect()[0]
+    lo, hi = float(lo_hi["lo"]), float(lo_hi["hi"])
+    if hi <= lo:
+        return [lo] * (k - 1)
+    width = (hi - lo) / n_bins
+    binned = (
+        weighted.withColumn(
+            "bin", F.least(F.floor((F.col("anchor_x") - lo) / width).cast("int"), F.lit(n_bins - 1))
+        )
+        .groupBy("bin")
+        .agg(F.sum("w").alias("w"))
+        .collect()
     )
+    hist = np.zeros(n_bins)
+    for r in binned:
+        hist[r["bin"]] = r["w"]
+    cum = np.cumsum(hist)
+    total = cum[-1]
     bounds = []
     for i in range(1, k):
-        row = cum.filter(F.col("cw") >= total * i / k).agg(F.min("anchor_x")).collect()[0][0]
-        bounds.append(float(row))
+        b = int(np.searchsorted(cum, total * i / k))
+        bounds.append(lo + (b + 1) * width)
     return bounds
 
 

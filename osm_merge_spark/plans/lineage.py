@@ -71,24 +71,38 @@ def run_bucketed(
 
     Returns {"completed": [...], "skipped": [...], "output_rows": N}.
     """
+    from pyspark.sql import Observation
+
     lineage_path = f"{out_path}/_lineage"
     done = completed_buckets(spark, lineage_path, run_id)
     completed, skipped = [], []
     total_out = 0
-    withb = primary.withColumn("__bucket", bucket_of(F.col(id_col), n_buckets))
-    for b in range(n_buckets):
-        if b in done:
-            skipped.append(b)
-            continue
-        t0 = time.time()
-        part = withb.filter(F.col("__bucket") == b).drop("__bucket")
-        n_in = part.count()
-        out = job(part)
-        out.write.mode("overwrite").parquet(f"{out_path}/bucket={b}")
-        n_out = spark.read.parquet(f"{out_path}/bucket={b}").count()
-        append_lineage(spark, lineage_path, run_id, b, n_in, n_out, int((time.time() - t0) * 1000))
-        completed.append(b)
-        total_out += n_out
+    # one pass over the primary: cache the bucketed frame and take every
+    # bucket's input count from a single groupBy (n_buckets re-scans + a
+    # count() per bucket otherwise — ~3×n_buckets source reads)
+    withb = primary.withColumn("__bucket", bucket_of(F.col(id_col), n_buckets)).persist()
+    in_counts = {r["__bucket"]: r["n"] for r in withb.groupBy("__bucket").agg(F.count("*").alias("n")).collect()}
+    try:
+        for b in range(n_buckets):
+            if b in done:
+                skipped.append(b)
+                continue
+            t0 = time.time()
+            part = withb.filter(F.col("__bucket") == b).drop("__bucket")
+            out = job(part)
+            # output rows observed on the write itself — no read-back scan
+            obs = Observation(f"lineage_b{b}")
+            out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+                f"{out_path}/bucket={b}"
+            )
+            n_out = int(obs.get["n"])
+            append_lineage(
+                spark, lineage_path, run_id, b, int(in_counts.get(b, 0)), n_out, int((time.time() - t0) * 1000)
+            )
+            completed.append(b)
+            total_out += n_out
+    finally:
+        withb.unpersist()
     return {"completed": completed, "skipped": skipped, "output_rows": total_out}
 
 

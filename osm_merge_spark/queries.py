@@ -672,9 +672,9 @@ def q_minhash_sig(spark, sf_dir):
     WITH h AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents),
     sig AS (SELECT doc_id, {", ".join(_mh_sql(i) for i in range(4))} FROM h),
     banded AS (
-      SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sig
+      SELECT doc_id, 0 AS band, CAST(mh0 AS BIGINT) * 2147483647 + mh1 AS bucket FROM sig
       UNION ALL
-      SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bucket FROM sig
+      SELECT doc_id, 1 AS band, CAST(mh2 AS BIGINT) * 2147483647 + mh3 AS bucket FROM sig
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
     FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
