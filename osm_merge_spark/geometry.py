@@ -313,7 +313,10 @@ def simplify_radial(offsets: np.ndarray, flat_xy: np.ndarray, tol_deg: float = 1
         if p == 0:
             last_xy[r] = cur
             continue
-        d = np.hypot(cur[:, 0] - last_xy[r, 0], cur[:, 1] - last_xy[r, 1])
+        # sqrt-of-squares (not np.hypot): ANSI-SQL-reproducible rounding
+        ddx = cur[:, 0] - last_xy[r, 0]
+        ddy = cur[:, 1] - last_xy[r, 1]
+        d = np.sqrt(ddx * ddx + ddy * ddy)
         is_last = (p == lens[r] - 1)
         k = (d >= tol_deg) | is_last
         keep[vi[k]] = True

@@ -1033,31 +1033,63 @@ def q_span_signature(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Rows-only entries (non-SQL-expressible: full engine paths)
+# Flagship conflation — full-pipeline DuckDB twin (osm_merge_spark/conflate_sql)
 # ---------------------------------------------------------------------------
 
+from .conflate_sql import CONFLATE_FLAGSHIP_SQL, CONFLATE_NEW_SQL
 
-@register("q_conflate_flagship", None)
+
+def _tag_sig(tags) -> "F.Column":
+    """map<string,string> → deterministic sorted 'k=v|k=v' signature string
+    (the canonicalizable form the driver's hash gate needs)."""
+    entries = F.array_sort(
+        F.transform(F.map_entries(tags), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+    )
+    return F.concat_ws("|", entries)
+
+
+@register("q_conflate_flagship", CONFLATE_FLAGSHIP_SQL)
 def q_conflate_flagship(spark, sf_dir):
-    """§3.1 flagship: full conflation over the synthetic corpus (correctness
-    pinned by the brute-force oracle in tests/test_conflate.py)."""
+    """§3.1 flagship: full conflation over the synthetic corpus, hash-checked
+    against a brute-force ANSI-SQL twin of the whole pipeline (corpus
+    arithmetic + geometry kernel + scoring + best-match + tag merge)."""
     conflated, _ = C.conflate(synth.external_ways(spark, sf_dir), synth.osm_ways(spark, sf_dir))
-    return conflated.select("ext_id", "way_id", "hits", "dist", "name_ratio", "ref_ratio", "tags")
+    return conflated.select(
+        "ext_id", "way_id", "hits", "dist", "name_ratio", "ref_ratio",
+        "dslope", "angle", "version", _tag_sig(F.col("tags")).alias("tag_sig"),
+    ).orderBy("ext_id")
 
 
-@register("q_conflate_new", None)
+@register("q_conflate_new", CONFLATE_NEW_SQL)
 def q_conflate_new(spark, sf_dir):
     """§3.1 anti-join output: external features with no OSM counterpart."""
     _, new = C.conflate(synth.external_ways(spark, sf_dir), synth.osm_ways(spark, sf_dir))
-    return new.select("ext_id", "tags", "version")
+    return new.select(
+        "ext_id", "version", _tag_sig(F.col("tags")).alias("tag_sig")
+    ).orderBy("ext_id")
 
 
-@register("q_line_tiles", None)
+from .conflate_sql import line_tiles_sql as _line_tiles_sql
+
+_LT_PARAMS = TL.grid_params(
+    synth.LON0, synth.LAT0, synth.LON0 + synth.LON_SPAN, synth.LAT0 + synth.LAT_SPAN, tile_m=20_000.0
+)
+
+
+@register(
+    "q_line_tiles",
+    _line_tiles_sql(synth.LON0, synth.LAT0, *_LT_PARAMS),
+)
 def q_line_tiles(spark, sf_dir):
-    """J9 polyline multi-tile routing (exact predicate checked in pytest)."""
+    """J9 polyline multi-tile routing — hash-checked against a grid-math SQL
+    twin (the quarter-tile sampling is deterministic)."""
     ways = synth.osm_ways(spark, sf_dir)
-    return TL.assign_lines_to_tiles(ways, synth.LON0, synth.LAT0, synth.LON0 + synth.LON_SPAN,
-                                    synth.LAT0 + synth.LAT_SPAN, tile_m=20_000.0).select("way_id", "tile_id")
+    return (
+        TL.assign_lines_to_tiles(ways, synth.LON0, synth.LAT0, synth.LON0 + synth.LON_SPAN,
+                                 synth.LAT0 + synth.LAT_SPAN, tile_m=20_000.0)
+        .select("way_id", "tile_id")
+        .orderBy("way_id", "tile_id")
+    )
 
 
 @register("q_lsh_topk", None)
@@ -1068,16 +1100,50 @@ def q_lsh_topk(spark, sf_dir):
     return S.lsh_topk(probes, emb, dim=64, k=3)
 
 
-@register("q_media_features", None)
+def _media_sql() -> str:
+    """DuckDB twin of the synthetic media path: media_ref → md5 payload →
+    the stub decoder's deterministic (width, height, byte-feature) math."""
+    hv = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    bytes_sql = ", ".join(
+        f"({hv.format(p=2 * i + 1)} * 16 + {hv.format(p=2 * i + 2)}) AS b{i}" for i in range(16)
+    )
+    hsum = " + ".join(f"b{i}" for i in range(16))
+    feat = " || ',' || ".join(f"CAST(b{i} AS VARCHAR)" for i in range(8))
+    return f"""
+    WITH o AS (SELECT o_orderkey AS k FROM orders),
+    m AS (
+      SELECT 'doc-' || CAST(k AS VARCHAR) AS doc_id,
+             '18/' || CAST((k * 53) % 262144 AS VARCHAR) || '/'
+                   || CAST((k * 37) % 262144 AS VARCHAR) || '.jpg' AS media_ref
+      FROM o
+    ),
+    hx AS (SELECT doc_id, media_ref, md5(media_ref) AS h FROM m),
+    bb AS (SELECT doc_id, media_ref, {bytes_sql} FROM hx),
+    ss AS (SELECT *, {hsum} AS hs FROM bb)
+    SELECT doc_id, media_ref,
+           CAST(256 + hs % 256 AS INT) AS width,
+           CAST(256 + (hs * 7) % 256 AS INT) AS height,
+           {feat} AS feat_sig
+    FROM ss ORDER BY doc_id
+    """
+
+
+@register("q_media_features", _media_sql())
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: media spans → payload → mapInPandas feature
-    extraction (stub decoder; schema/batch shape are the real contract)."""
+    extraction (stub decoder; schema/batch shape are the real contract).
+    The float32 feature array is emitted as its exact source-byte signature
+    (round(v*255) recovers the payload byte) so the oracle is hash-exact."""
     docs = synth.documents_spans(spark, sf_dir)
     feats = SP.spans_to_features(docs)
     media = feats.select("doc_id", F.explode("media_refs").alias("media_ref")).withColumn(
         "payload", M.synth_payload("media_ref")
     )
-    return M.extract_media_features(media)
+    out = M.extract_media_features(media)
+    feat_sig = F.concat_ws(
+        ",", F.transform("feature", lambda v: F.round(v * 255.0).cast("int").cast("string"))
+    )
+    return out.select("doc_id", "media_ref", "width", "height", feat_sig.alias("feat_sig")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1256,11 +1322,14 @@ def q_boundary_clip(spark, sf_dir):
     return pts.filter(pip("lon", "lat")).select("c_custkey", "lon", "lat").orderBy("c_custkey")
 
 
-@register("q_simplify_lines", None)
+from .conflate_sql import simplify_sql as _simplify_sql
+
+
+@register("q_simplify_lines", _simplify_sql(n_pts=8, tol=1e-3))
 def q_simplify_lines(spark, sf_dir):
     """P10: radial geometry simplification (`mvum.py:236-242` stand-in for
-    shapely.simplify) over dense synthetic polylines — rows-only (kernel
-    correctness pinned in tests/test_geometry.py)."""
+    shapely.simplify) over dense synthetic polylines, hash-checked against
+    the sequential keep-scan unrolled in ANSI SQL."""
     from . import geometry as G
 
     ways = synth.osm_ways(spark, sf_dir, n_pts=8)
