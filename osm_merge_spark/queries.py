@@ -1210,6 +1210,381 @@ def q_converter_mvum(spark, sf_dir):
 
 
 
+# --- the remaining converter family (trails/usgs/blm/nps/local/osmhighways)
+
+from .conflate_sql import _norm_name as _NN_SQL
+
+_IC = _NN_SQL  # full normalize chain (initcap + abbreviation expansion)
+
+
+@register(
+    "q_converter_trails",
+    f"""
+    WITH src AS (
+      SELECT p_partkey AS gid,
+             p_name || (CASE WHEN p_partkey % 5 = 0 THEN ' trail' ELSE '' END) AS name,
+             CAST((p_partkey % 900) + 100 AS VARCHAR) AS trail_no,
+             lpad(CAST((p_partkey % 12) + 1 AS VARCHAR), 2, '0') || '/01-' ||
+             lpad(CAST(((p_partkey * 7) % 12) + 1 AS VARCHAR), 2, '0') || '/28' AS season_dates,
+             CASE WHEN p_partkey % 2 = 0 THEN 'Y' ELSE 'N' END AS atv,
+             CASE WHEN p_partkey % 3 = 0 THEN 'Y' ELSE 'N' END AS horse
+      FROM part
+    ),
+    n AS (SELECT *, {_IC('name')} AS nn FROM src)
+    SELECT gid,
+      CASE WHEN strpos(nn, ' Trail') >= 2 THEN nn ELSE nn || ' Trail' END AS name_norm,
+      'FR ' || trail_no AS ref_norm,
+      {_MONTH_SQL.format(m="CAST(substr(season_dates,1,2) AS INT)")} || '-' ||
+        {_MONTH_SQL.format(m="CAST(substr(season_dates,7,2) AS INT)")} AS opening_hours,
+      CASE WHEN {_MONTH_SQL.format(m="CAST(substr(season_dates,1,2) AS INT)")} = 'Jan'
+            AND {_MONTH_SQL.format(m="CAST(substr(season_dates,7,2) AS INT)")} = 'Dec'
+           THEN 'no' ELSE 'yes' END AS seasonal,
+      CASE WHEN atv = 'Y' THEN 'designated' END AS atv_access,
+      CASE WHEN horse = 'Y' THEN 'designated' END AS horse_access,
+      'US Forest Service' AS operator, 'path' AS highway
+    FROM n ORDER BY gid
+    """,
+)
+def q_converter_trails(spark, sf_dir):
+    """P8 trails converter (`trails.py:64-179`): ' Trail' name-suffix rule,
+    FR trail number, seasonal opening hours, vehicle→designated."""
+    from .sources import converters as CV
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    src = p.select(
+        k.alias("gid"),
+        F.concat(F.col("p_name"), F.when(F.pmod(k, F.lit(5)) == 0, " trail").otherwise("")).alias("name"),
+        (F.pmod(k, F.lit(900)) + 100).cast("string").alias("trail_no"),
+        F.concat(
+            F.lpad((F.pmod(k, F.lit(12)) + 1).cast("string"), 2, "0"), F.lit("/01-"),
+            F.lpad((F.pmod(k * 7, F.lit(12)) + 1).cast("string"), 2, "0"), F.lit("/28"),
+        ).alias("season_dates"),
+        F.when(F.pmod(k, F.lit(2)) == 0, "Y").otherwise("N").alias("atv"),
+        F.when(F.pmod(k, F.lit(3)) == 0, "Y").otherwise("N").alias("horse"),
+    )
+    out = CV.convert(src, CV.TRAILS_SPEC, keep_cols=["gid"])
+    t = F.col("tags")
+    return out.select(
+        "gid",
+        F.element_at(t, F.lit("name")).alias("name_norm"),
+        F.element_at(t, F.lit("ref:usfs")).alias("ref_norm"),
+        F.element_at(t, F.lit("opening_hours")).alias("opening_hours"),
+        F.element_at(t, F.lit("seasonal")).alias("seasonal"),
+        F.element_at(t, F.lit("atv")).alias("atv_access"),
+        F.element_at(t, F.lit("horse")).alias("horse_access"),
+        F.element_at(t, F.lit("operator")).alias("operator"),
+        F.element_at(t, F.lit("highway")).alias("highway"),
+    ).orderBy("gid")
+
+
+@register(
+    "q_converter_usgs",
+    rf"""
+    WITH src AS (
+      SELECT p_partkey AS gid,
+             CASE p_partkey % 6
+               WHEN 0 THEN 'County Road ' || CAST(p_partkey % 500 AS VARCHAR)
+               WHEN 1 THEN 'Old Co Rd ' || CAST(p_partkey % 500 AS VARCHAR)
+               WHEN 2 THEN 'Rd ' || CAST(p_partkey % 500 AS VARCHAR)
+               WHEN 3 THEN 'USFS Road ' || CAST(p_partkey % 500 AS VARCHAR)
+               WHEN 4 THEN p_name
+               ELSE 'County Road' END AS name
+      FROM part
+    )
+    SELECT gid,
+      CASE WHEN name = 'County Road' THEN NULL
+           WHEN regexp_matches(name, '^County Road .*')
+             THEN 'CR' || regexp_extract(name, '^County Road (\S+)', 1)
+           WHEN regexp_matches(name, '.*Co Rd.*')
+             THEN 'CR ' || regexp_extract(name, '(\S+)\s*$', 1)
+           WHEN regexp_matches(name, '^Rd .*')
+             THEN 'CR ' || regexp_extract(name, '(\S+)\s*$', 1)
+           WHEN regexp_matches(name, '(?i)^usfs .*')
+             THEN 'FR ' || regexp_extract(name, '(\S+)\s*$', 1)
+           END AS ref,
+      CASE WHEN name <> 'County Road'
+            AND NOT regexp_matches(name, '^County Road .*')
+            AND NOT regexp_matches(name, '.*Co Rd.*')
+            AND NOT regexp_matches(name, '^Rd .*')
+            AND NOT regexp_matches(name, '(?i)^usfs .*')
+            AND regexp_matches(name, '.* .*')
+           THEN {_IC('name')} END AS name_out,
+      'unclassified' AS highway
+    FROM src ORDER BY gid
+    """,
+)
+def q_converter_usgs(spark, sf_dir):
+    """P8 USGS converter (`usgs.py:72-258`): the name-field ref-mining ladder
+    (County Road → CR<N> with no space `:147`, Co Rd/Rd → CR, usfs → FR) with
+    real names falling through to normalization."""
+    from .sources import converters as CV
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    n = F.pmod(k, F.lit(500)).cast("string")
+    src = p.select(
+        k.alias("gid"),
+        F.when(F.pmod(k, F.lit(6)) == 0, F.concat(F.lit("County Road "), n))
+        .when(F.pmod(k, F.lit(6)) == 1, F.concat(F.lit("Old Co Rd "), n))
+        .when(F.pmod(k, F.lit(6)) == 2, F.concat(F.lit("Rd "), n))
+        .when(F.pmod(k, F.lit(6)) == 3, F.concat(F.lit("USFS Road "), n))
+        .when(F.pmod(k, F.lit(6)) == 4, F.col("p_name"))
+        .otherwise(F.lit("County Road"))
+        .alias("name"),
+    )
+    out = CV.convert(src, CV.USGS_SPEC, keep_cols=["gid"])
+    t = F.col("tags")
+    return out.select(
+        "gid",
+        F.element_at(t, F.lit("ref")).alias("ref"),
+        F.element_at(t, F.lit("name")).alias("name_out"),
+        F.element_at(t, F.lit("highway")).alias("highway"),
+    ).orderBy("gid")
+
+
+@register(
+    "q_converter_blm",
+    f"""
+    WITH src AS (
+      SELECT p_partkey AS gid,
+             CASE WHEN p_partkey % 2 = 0 THEN 'Motorized' ELSE 'Non-Mechanized' END AS plan_mode,
+             CASE WHEN p_partkey % 4 = 0 THEN NULL
+                  WHEN p_partkey % 4 = 1 THEN 'BLM ' || CAST(p_partkey % 500 AS VARCHAR)
+                  ELSE CAST(p_partkey % 500 AS VARCHAR) END AS rd_id,
+             CASE WHEN p_partkey % 4 = 0 THEN CAST(p_partkey % 500 AS VARCHAR)
+                  ELSE p_name END AS name
+      FROM part
+    )
+    SELECT gid,
+      CASE WHEN rd_id IS NOT NULL AND regexp_matches(rd_id, '^BLM') THEN rd_id
+           WHEN rd_id IS NOT NULL THEN 'BLM ' || rd_id
+           WHEN regexp_matches(name, '^[0-9]+$') THEN 'BLM ' || name
+           END AS ref,
+      CASE WHEN NOT regexp_matches(name, '^[0-9]+$') AND regexp_matches(name, '.* .*')
+           THEN {_IC('name')} END AS name_out,
+      CASE plan_mode WHEN 'Non-Mechanized' THEN 'path' WHEN 'Motorized' THEN 'track' END AS highway,
+      'BLM' AS operator
+    FROM src ORDER BY gid
+    """,
+)
+def q_converter_blm(spark, sf_dir):
+    """P8 BLM converter (`blm.py:104-243`): highway from the transport plan
+    mode, BLM-prefixed refs (idempotent), numeric names are refs."""
+    from .sources import converters as CV
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    n = F.pmod(k, F.lit(500)).cast("string")
+    src = p.select(
+        k.alias("gid"),
+        F.when(F.pmod(k, F.lit(2)) == 0, "Motorized").otherwise("Non-Mechanized").alias("plan_mode"),
+        F.when(F.pmod(k, F.lit(4)) == 0, F.lit(None).cast("string"))
+        .when(F.pmod(k, F.lit(4)) == 1, F.concat(F.lit("BLM "), n))
+        .otherwise(n)
+        .alias("rd_id"),
+        F.when(F.pmod(k, F.lit(4)) == 0, n).otherwise(F.col("p_name")).alias("name"),
+    )
+    out = CV.convert(src, CV.BLM_SPEC, keep_cols=["gid"])
+    t = F.col("tags")
+    return out.select(
+        "gid",
+        F.element_at(t, F.lit("ref")).alias("ref"),
+        F.element_at(t, F.lit("name")).alias("name_out"),
+        F.element_at(t, F.lit("highway")).alias("highway"),
+        F.element_at(t, F.lit("operator")).alias("operator"),
+    ).orderBy("gid")
+
+
+@register(
+    "q_converter_nps",
+    """
+    WITH src AS (
+      SELECT p_partkey AS gid,
+             'nps_' || CAST(p_partkey % 3 AS VARCHAR) AS MAPSOURCE,
+             p_name AS TRLNAME,
+             CASE p_partkey % 3 WHEN 0 THEN 'Gravel' WHEN 1 THEN 'DIRT' ELSE 'Paved' END AS TRLSURFACE,
+             CASE WHEN p_partkey % 2 = 0 THEN 'Yes' ELSE 'No' END AS SEASONAL
+      FROM part
+    )
+    SELECT gid,
+      MAPSOURCE AS source,
+      array_to_string(list_transform(string_split(TRLNAME, ' '),
+        w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ') AS name,
+      lower(TRLSURFACE) AS surface,
+      lower(SEASONAL) AS seasonal
+    FROM src ORDER BY gid
+    """,
+)
+def q_converter_nps(spark, sf_dir):
+    """P8 NPS converter (`nps.py:65-106`): four field maps with title/lower
+    casing — the simplest of the family."""
+    from .sources import converters as CV
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    src = p.select(
+        k.alias("gid"),
+        F.concat(F.lit("nps_"), F.pmod(k, F.lit(3)).cast("string")).alias("MAPSOURCE"),
+        F.col("p_name").alias("TRLNAME"),
+        F.when(F.pmod(k, F.lit(3)) == 0, "Gravel").when(F.pmod(k, F.lit(3)) == 1, "DIRT").otherwise("Paved").alias("TRLSURFACE"),
+        F.when(F.pmod(k, F.lit(2)) == 0, "Yes").otherwise("No").alias("SEASONAL"),
+    )
+    out = CV.convert(src, CV.NPS_SPEC, keep_cols=["gid"])
+    t = F.col("tags")
+    return out.select(
+        "gid",
+        F.element_at(t, F.lit("source")).alias("source"),
+        F.element_at(t, F.lit("name")).alias("name"),
+        F.element_at(t, F.lit("surface")).alias("surface"),
+        F.element_at(t, F.lit("seasonal")).alias("seasonal"),
+    ).orderBy("gid")
+
+
+@register(
+    "q_converter_local",
+    rf"""
+    WITH src AS (
+      SELECT p_partkey AS gid,
+             CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_partkey % 500 END AS rd_num,
+             CASE p_partkey % 5
+               WHEN 0 THEN CAST(p_partkey % 500 AS VARCHAR)
+               WHEN 1 THEN 'Fs ' || CAST(p_partkey % 500 AS VARCHAR) || '-' || p_name
+               WHEN 2 THEN 'County Road ' || CAST(p_partkey % 500 AS VARCHAR)
+               WHEN 3 THEN 'Forest Road ' || CAST(p_partkey % 500 AS VARCHAR)
+               ELSE p_name END AS road_name
+      FROM part
+    ),
+    n AS (SELECT *, {_IC('road_name')} AS nn FROM src),
+    r AS (
+      SELECT *,
+        CASE WHEN regexp_matches(nn, '^[0-9]+$') THEN 'CR ' || nn
+             WHEN regexp_matches(nn, '^Fs ') THEN 'FR ' || regexp_extract(nn, '^Fs (\S+?)(?:-| |$)', 1)
+             WHEN regexp_matches(nn, '^County Road .+') THEN regexp_replace(nn, '^County Road', 'CR')
+             WHEN regexp_matches(nn, '^Forest Road .+') THEN regexp_replace(nn, '^Forest Road', 'FR')
+             END AS name_ref,
+        CASE WHEN regexp_matches(nn, '^Fs ')
+             THEN regexp_extract(nn, '^Fs [^-]*-(.*)$', 1) END AS fs_rest
+      FROM n
+    )
+    SELECT gid,
+      CASE WHEN rd_num IS NOT NULL AND name_ref IS NOT NULL
+             THEN 'CR ' || CAST(rd_num AS VARCHAR) || ';' || name_ref
+           WHEN rd_num IS NOT NULL THEN 'CR ' || CAST(rd_num AS VARCHAR)
+           ELSE name_ref END AS ref,
+      CASE WHEN regexp_matches(nn, '^[0-9]+$') THEN NULL
+           WHEN regexp_matches(nn, '^Fs ') AND fs_rest IS NOT NULL AND fs_rest <> ''
+             THEN array_to_string(list_transform(string_split(fs_rest, ' '),
+                    w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ')
+           ELSE nn END AS name_out
+    FROM r
+    WHERE rd_num IS NOT NULL OR name_ref IS NOT NULL
+    ORDER BY gid
+    """,
+)
+def q_converter_local(spark, sf_dir):
+    """P8 county-roads converter (`local_roads.py:89-182`): integer road
+    numbers → CR refs, Fs N-Name split + ;-joined multi-ref consolidation,
+    County/Forest Road names → refs, rows without any ref dropped."""
+    from .sources import converters as CV
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    n = F.pmod(k, F.lit(500)).cast("string")
+    src = p.select(
+        k.alias("gid"),
+        F.when(F.pmod(k, F.lit(7)) == 0, F.lit(None).cast("int")).otherwise(F.pmod(k, F.lit(500)).cast("int")).alias("rd_num"),
+        F.when(F.pmod(k, F.lit(5)) == 0, n)
+        .when(F.pmod(k, F.lit(5)) == 1, F.concat(F.lit("Fs "), n, F.lit("-"), F.col("p_name")))
+        .when(F.pmod(k, F.lit(5)) == 2, F.concat(F.lit("County Road "), n))
+        .when(F.pmod(k, F.lit(5)) == 3, F.concat(F.lit("Forest Road "), n))
+        .otherwise(F.col("p_name"))
+        .alias("road_name"),
+    )
+    out = CV.local_roads_convert(src, keep_cols=["gid"])
+    t = F.col("tags")
+    return out.select(
+        "gid",
+        F.element_at(t, F.lit("ref")).alias("ref"),
+        F.element_at(t, F.lit("name")).alias("name_out"),
+    ).orderBy("gid")
+
+
+@register(
+    "q_converter_osmhw",
+    r"""
+    WITH src AS (
+      SELECT p_partkey AS gid,
+             CASE WHEN p_partkey % 4 = 0
+                  THEN 'County Road ' || CAST(p_partkey % 500 AS VARCHAR)
+                  ELSE p_name END AS name,
+             CASE p_partkey % 3
+               WHEN 0 THEN 'FSR ' || CAST(p_partkey % 900 AS VARCHAR)
+               WHEN 1 THEN 'FR ' || CAST(p_partkey % 900 AS VARCHAR)
+               ELSE 'Forest Service Road ' || CAST(p_partkey % 900 AS VARCHAR) END AS usfs
+      FROM part
+    ),
+    r AS (
+      SELECT *,
+        regexp_matches(lower(name), 'county road') AS county,
+        CASE WHEN usfs LIKE 'FS %' OR usfs LIKE 'FR %' THEN usfs
+             WHEN usfs LIKE 'FSR %' THEN 'FR ' || regexp_extract(usfs, '(\S+)\s*$', 1)
+             ELSE 'FR ' || regexp_extract(name, '(\S+)\s*$', 1) END AS ur
+      FROM src
+    )
+    SELECT gid,
+      CASE WHEN county
+           THEN 'CR ' || (upper(substr(regexp_extract(name, '(\S+)\s*$', 1), 1, 1))
+                          || lower(substr(regexp_extract(name, '(\S+)\s*$', 1), 2))) || ';' || ur
+           ELSE ur END AS ref,
+      CASE WHEN county THEN NULL ELSE name END AS name_out,
+      'track' AS highway,
+      CAST(2 + (CASE WHEN county THEN 0 ELSE 1 END) AS INT) AS n_tags
+    FROM r ORDER BY gid
+    """,
+)
+def q_converter_osmhw(spark, sf_dir):
+    """P8 OSM-highways tag scrub (`osmhighways.py:80-224`): junk-tag drop,
+    FSR→FR renormalization, County-Road name → CR ref consumption, and the
+    ref/ref:usfs ;-consolidation (`:215-221`)."""
+    from .sources import converters as CV
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    n500 = F.pmod(k, F.lit(500)).cast("string")
+    n900 = F.pmod(k, F.lit(900)).cast("string")
+    name = F.when(F.pmod(k, F.lit(4)) == 0, F.concat(F.lit("County Road "), n500)).otherwise(F.col("p_name"))
+    usfs = (
+        F.when(F.pmod(k, F.lit(3)) == 0, F.concat(F.lit("FSR "), n900))
+        .when(F.pmod(k, F.lit(3)) == 1, F.concat(F.lit("FR "), n900))
+        .otherwise(F.concat(F.lit("Forest Service Road "), n900))
+    )
+    junk = F.when(
+        F.pmod(k, F.lit(5)) == 0,
+        F.create_map(F.lit("tiger:cfcc"), F.lit("A41"), F.lit("_FID"), F.lit("x")),
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    src = p.select(
+        k.alias("gid"),
+        F.map_concat(
+            F.create_map(
+                F.lit("highway"), F.lit("track"),
+                F.lit("name"), name,
+                F.lit("ref:usfs"), usfs,
+            ),
+            junk,
+        ).alias("tags"),
+    )
+    out = CV.osmhighways_filter(src, keep_cols=["gid"])
+    t = F.col("tags")
+    return out.select(
+        "gid",
+        F.element_at(t, F.lit("ref")).alias("ref"),
+        F.element_at(t, F.lit("name")).alias("name_out"),
+        F.element_at(t, F.lit("highway")).alias("highway"),
+        F.size(t).alias("n_tags"),
+    ).orderBy("gid")
+
+
 @register(
     "q_raster_vector_join",
     f"""
