@@ -248,6 +248,142 @@ def min_dist_pair_m(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return np.sqrt(d2)
 
 
+def _cumsum0(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(x) + 1, dtype=np.int64)
+    np.cumsum(x, out=out[1:])
+    return out
+
+
+def _cross_index(cnt_p: np.ndarray, cnt_s: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-pair (point-count × segment-count) cross product → flat index
+    arrays (pair_idx, local_point, local_segment, cross_sizes)."""
+    cross = cnt_p * cnt_s
+    total = int(cross.sum())
+    pair_idx = np.repeat(np.arange(len(cross)), cross)
+    starts = _cumsum0(cross)[:-1]
+    local = np.arange(total) - starts[pair_idx]
+    lp = local // cnt_s[pair_idx]
+    ls = local - lp * cnt_s[pair_idx]
+    return pair_idx, lp, ls, cross
+
+
+def _reduceat_min(values: np.ndarray, cross: np.ndarray, n: int, fill: float = np.inf) -> np.ndarray:
+    """Per-pair min over a pair-ordered flat array (zero-size pairs → fill)."""
+    out = np.full(n, fill)
+    nz = cross > 0
+    if values.size and nz.any():
+        starts = _cumsum0(cross)[:-1]
+        out[nz] = np.minimum.reduceat(values, starts[nz])
+    return out
+
+
+def _min_d2_points_vs_segs(
+    off_p: np.ndarray, m_p: np.ndarray, off_s: np.ndarray, m_s: np.ndarray
+) -> np.ndarray:
+    """Min squared distance, per pair, of P's vertices to S's segments —
+    exact ragged cross product (no padding)."""
+    n = len(off_p) - 1
+    npts = np.diff(off_p)
+    nv_s = np.diff(off_s)
+    cnt_p = np.where(nv_s > 0, npts, 0)
+    cnt_s = np.where((npts > 0) & (nv_s > 0), np.maximum(nv_s - 1, 1), 0)
+    pair_idx, lp, ls, cross = _cross_index(cnt_p, cnt_s)
+    if pair_idx.size == 0:
+        return np.full(n, np.inf)
+    p_i = off_p[:-1][pair_idx] + lp
+    s0 = off_s[:-1][pair_idx] + ls
+    has2 = (nv_s > 1).astype(np.int64)[pair_idx]
+    d2 = _point_seg_dist2(
+        m_p[p_i, 0], m_p[p_i, 1],
+        m_s[s0, 0], m_s[s0, 1],
+        m_s[s0 + has2, 0], m_s[s0 + has2, 1],
+    )
+    return _reduceat_min(d2, cross, n)
+
+
+def _intersect_any(off_a: np.ndarray, m_a: np.ndarray, off_b: np.ndarray, m_b: np.ndarray) -> np.ndarray:
+    """Per pair: does any A segment properly intersect any B segment."""
+    n = len(off_a) - 1
+    sa = np.maximum(np.diff(off_a) - 1, 0)
+    sb = np.maximum(np.diff(off_b) - 1, 0)
+    pair_idx, la, lb, cross = _cross_index(sa, sb)
+    if pair_idx.size == 0:
+        return np.zeros(n, dtype=bool)
+    a0 = off_a[:-1][pair_idx] + la
+    b0 = off_b[:-1][pair_idx] + lb
+    hit = _seg_intersect(
+        m_a[a0, 0], m_a[a0, 1], m_a[a0 + 1, 0], m_a[a0 + 1, 1],
+        m_b[b0, 0], m_b[b0, 1], m_b[b0 + 1, 0], m_b[b0 + 1, 1],
+    )
+    out = np.zeros(n, dtype=bool)
+    nz = cross > 0
+    if hit.size and nz.any():
+        starts = _cumsum0(cross)[:-1]
+        out[nz] = np.logical_or.reduceat(hit, starts[nz])
+    return out
+
+
+def min_dist_pair_m_ragged(
+    off_a: np.ndarray,
+    flat_a: np.ndarray,
+    off_b: np.ndarray,
+    flat_b: np.ndarray,
+    chunk_elems: int = 4_000_000,
+) -> np.ndarray:
+    """Exact paired min distance on the RAGGED layout.
+
+    Same math as :func:`min_dist_pair_m` but O(Σ nᵢ·mᵢ) work and memory
+    bounded by ``chunk_elems`` — the padded kernel is O(n·P²max) where Pmax
+    is the longest geometry in the batch, which detonates on real OSM ways
+    (a single 680-vertex way pads every pair in the batch to 680², ~1.5 GB
+    per temporary).  Long-geometry batches route here from the scoring UDF.
+    """
+    n = len(off_a) - 1
+    if n == 0:
+        return np.empty(0)
+    na, nb = np.diff(off_a), np.diff(off_b)
+    # ref latitude per pair = mean of both geometries' vertex latitudes
+    def _row_sums(off: np.ndarray, flat: np.ndarray) -> np.ndarray:
+        cnt = np.diff(off)
+        out = np.zeros(len(cnt))
+        nz = cnt > 0
+        if flat.shape[0] and nz.any():
+            out[nz] = np.add.reduceat(flat[:, 1], off[:-1][nz])
+        return out
+
+    ref_lat = (_row_sums(off_a, flat_a) + _row_sums(off_b, flat_b)) / np.maximum(na + nb, 1)
+    scale_x = M_PER_DEG_LON_EQ * np.cos(np.radians(ref_lat))
+    row_a = np.repeat(np.arange(n), na)
+    row_b = np.repeat(np.arange(n), nb)
+    m_a = np.empty_like(flat_a)
+    m_a[:, 0] = flat_a[:, 0] * scale_x[row_a]
+    m_a[:, 1] = flat_a[:, 1] * M_PER_DEG_LAT
+    m_b = np.empty_like(flat_b)
+    m_b[:, 0] = flat_b[:, 0] * scale_x[row_b]
+    m_b[:, 1] = flat_b[:, 1] * M_PER_DEG_LAT
+
+    # chunk pair ranges so each cross product stays under chunk_elems
+    est = na * np.maximum(nb - 1, 1) + nb * np.maximum(na - 1, 1)
+    cum = np.cumsum(est)
+    out = np.empty(n)
+    i0 = 0
+    base = 0
+    while i0 < n:
+        i1 = int(np.searchsorted(cum, base + chunk_elems, side="right")) + 1
+        i1 = max(i1, i0 + 1)
+        i1 = min(i1, n)
+        oa, ob = off_a[i0 : i1 + 1], off_b[i0 : i1 + 1]
+        d2 = np.minimum(
+            _min_d2_points_vs_segs(oa, m_a, ob, m_b),
+            _min_d2_points_vs_segs(ob, m_b, oa, m_a),
+        )
+        d2[_intersect_any(oa, m_a, ob, m_b)] = 0.0
+        out[i0:i1] = np.sqrt(d2)
+        base = cum[i1 - 1]
+        i0 = i1
+    return out
+
+
 def endpoint_slope_angle(A: np.ndarray, B: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Reference slope/angle predicate (`conflator.py:504-551`), batched.
 
@@ -266,6 +402,33 @@ def endpoint_slope_angle(A: np.ndarray, B: np.ndarray) -> tuple[np.ndarray, np.n
         return np.where(np.isfinite(s), s, 0.0)
 
     s1, s2 = headslope(A), headslope(B)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ang = np.degrees(np.arctan((s2 - s1) / (1.0 + s2 * s1)))
+    ang = np.where(np.isfinite(ang), ang, 0.0)
+    return np.abs(s2 - s1), np.abs(ang)
+
+
+def endpoint_slope_angle_ragged(
+    off_a: np.ndarray, flat_a: np.ndarray, off_b: np.ndarray, flat_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged twin of :func:`endpoint_slope_angle` (first/last vertex only —
+    no padding needed)."""
+
+    def headslope(off: np.ndarray, flat: np.ndarray) -> np.ndarray:
+        n = len(off) - 1
+        lens = np.diff(off)
+        s = np.zeros(n)
+        nz = lens > 0
+        if flat.shape[0] and nz.any():
+            i0 = off[:-1][nz]
+            il = off[1:][nz] - 1
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sv = (flat[il, 1] - flat[i0, 1]) / (flat[il, 0] - flat[i0, 0])
+            s[nz] = np.where(np.isfinite(sv), sv, 0.0)
+        return s
+
+    s1 = headslope(off_a, flat_a)
+    s2 = headslope(off_b, flat_b)
     with np.errstate(divide="ignore", invalid="ignore"):
         ang = np.degrees(np.arctan((s2 - s1) / (1.0 + s2 * s1)))
     ang = np.where(np.isfinite(ang), ang, 0.0)

@@ -166,15 +166,32 @@ _SCORE_SCHEMA = T.StructType(
 )
 
 
+# padded-kernel budget: Pa·Pb per pair beyond this routes to the ragged
+# kernel (padding to the batch max detonates on real long ways — a single
+# 680-vertex way inflates every pair to 680² slots)
+_PADDED_WORK_CAP = 4096
+
+
 @F.pandas_udf(_SCORE_SCHEMA)
 def geom_score_udf(geom_a: pd.Series, geom_b: pd.Series) -> pd.DataFrame:
     """Fused J2+J3+J4: min distance (with the length-mismatch −1.0 sentinel)
-    + endpoint slope/angle, vectorized over the whole Arrow batch."""
+    + endpoint slope/angle, vectorized over the whole Arrow batch.
+
+    Short-geometry batches (the common case after P10 simplification) use
+    the padded all-pairs kernel; batches containing long polylines use the
+    exact ragged cross-product kernel with bounded memory."""
     flat_a, off_a = G.ragged_from_arrays(geom_a)
     flat_b, off_b = G.ragged_from_arrays(geom_b)
-    A = G.pad_ragged(off_a, flat_a)
-    B = G.pad_ragged(off_b, flat_b)
-    dist = G.min_dist_pair_m(A, B)
+    pa = int(np.diff(off_a).max()) if len(off_a) > 1 else 0
+    pb = int(np.diff(off_b).max()) if len(off_b) > 1 else 0
+    if pa * pb <= _PADDED_WORK_CAP:
+        A = G.pad_ragged(off_a, flat_a)
+        B = G.pad_ragged(off_b, flat_b)
+        dist = G.min_dist_pair_m(A, B)
+        dslope, angle = G.endpoint_slope_angle(A, B)
+    else:
+        dist = G.min_dist_pair_m_ragged(off_a, flat_a, off_b, flat_b)
+        dslope, angle = G.endpoint_slope_angle_ragged(off_a, flat_a, off_b, flat_b)
     # J3: severe length mismatch → mutual-containment test, else sentinel -1
     len_a = G.polyline_length_m(off_a, flat_a)
     len_b = G.polyline_length_m(off_b, flat_b)
@@ -196,7 +213,6 @@ def geom_score_udf(geom_a: pd.Series, geom_b: pd.Series) -> pd.DataFrame:
         )
         within = a_in_b | b_in_a
         dist = np.where(mismatch & within, 0.0, np.where(mismatch, -1.0, dist))
-    dslope, angle = G.endpoint_slope_angle(A, B)
     return pd.DataFrame({"dist": dist, "dslope": dslope, "angle": angle})
 
 

@@ -1210,6 +1210,79 @@ def q_converter_mvum(spark, sf_dir):
 
 
 
+# --- S5: ODK field-data ingest → POI kNN conflation (the conflatePOI flow)
+
+_ODK_SQL = f"""
+WITH c AS (
+  SELECT c_custkey AS poi_key,
+         -109.0 + (c_custkey % 500) * 0.01 AS lon,
+         37.0 + ((c_custkey * 7) % 350) * 0.01 AS lat,
+         'Cafe ' || CAST(c_custkey % 97 AS VARCHAR) AS name,
+         CASE c_custkey % 3 WHEN 0 THEN 'coffee_shop' WHEN 1 THEN 'regional' ELSE 'ice_cream' END AS cuisine
+  FROM customer
+),
+s AS ({SUPP_PT_SQL.strip()}),
+pairs AS (
+  SELECT c.poi_key, c.name, c.cuisine, s.s_suppkey,
+         {HAVERSINE_SQL.format(lon1='c.lon', lat1='c.lat', lon2='s.lon', lat2='s.lat')} AS dist
+  FROM c CROSS JOIN s
+),
+ranked AS (
+  SELECT poi_key, name, cuisine, s_suppkey, dist,
+         row_number() OVER (PARTITION BY poi_key ORDER BY dist, s_suppkey) AS rn
+  FROM pairs WHERE dist <= 5000.0
+)
+SELECT poi_key, s_suppkey, round(dist, 2) AS dist_m, name, cuisine, 'cafe' AS amenity
+FROM ranked WHERE rn = 1 ORDER BY poi_key
+"""
+
+
+@register("q_odk_poi_conflate", _ODK_SQL)
+def q_odk_poi_conflate(spark, sf_dir):
+    """S5 → J5: ODK-shaped field submissions (hierarchical column names,
+    warmup-location fallback, metadata ignore) through the ODK parser, then
+    POI kNN conflation against node points (`fieldwork/parsers.py:88-214` →
+    `conflatePOI.py:86-153`)."""
+    from .sources import odk as ODK
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lat = F.lit(37.0) + F.pmod(k * 7, F.lit(350)) * 0.01
+    lon = F.lit(-109.0) + F.pmod(k, F.lit(500)) * 0.01
+    # primary location missing for 10% of rows — the warmup value (same
+    # coordinates here) must carry them through the coalesce path
+    raw = c.select(
+        k.alias("poi_key"),
+        F.lit("2024-05-01T10:00:00Z").alias("all-meta-submissiondate"),  # ignored
+        F.when(F.pmod(k, F.lit(10)) == 0, F.lit(None).cast("string"))
+        .otherwise(lat.cast("string")).alias("all-location-latitude"),
+        F.when(F.pmod(k, F.lit(10)) == 0, F.lit(None).cast("string"))
+        .otherwise(lon.cast("string")).alias("all-location-longitude"),
+        lat.cast("string").alias("all-warmup-latitude"),
+        lon.cast("string").alias("all-warmup-longitude"),
+        F.concat(F.lit("Cafe "), F.pmod(k, F.lit(97)).cast("string")).alias("all-poi-name"),
+        F.when(F.pmod(k, F.lit(3)) == 0, "coffee_shop").when(F.pmod(k, F.lit(3)) == 1, "regional")
+        .otherwise("ice_cream").alias("all-poi-cafe_type"),  # → cuisine rename
+        F.lit("cafe").alias("all-poi-amenity"),
+    )
+    pois = ODK.odk_to_features(raw, id_col="poi_key")
+    matched = P.knn_join(
+        pois, supplier_points(spark, sf_dir), tolerance_m=5000.0, k=1,
+        probe_id="poi_key", target_id="s_suppkey",
+    )
+    t = F.col("tags")
+    return (
+        matched.join(pois.select("poi_key", "tags"), "poi_key")
+        .select(
+            "poi_key", "s_suppkey", F.round("dist", 2).alias("dist_m"),
+            F.element_at(t, F.lit("name")).alias("name"),
+            F.element_at(t, F.lit("cuisine")).alias("cuisine"),
+            F.element_at(t, F.lit("amenity")).alias("amenity"),
+        )
+        .orderBy("poi_key")
+    )
+
+
 # --- the remaining converter family (trails/usgs/blm/nps/local/osmhighways)
 
 from .conflate_sql import _norm_name as _NN_SQL

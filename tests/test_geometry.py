@@ -130,3 +130,31 @@ def test_polyline_length():
     L = G.polyline_length_m(np.array([0, 2, 3]), flat)
     assert L[0] == pytest.approx(111_195, rel=1e-3)
     assert L[1] == 0.0
+
+
+def test_ragged_kernel_matches_padded():
+    """min_dist_pair_m_ragged must agree with the padded kernel (same math,
+    different layout) on mixed-length random batches."""
+    import numpy as np
+    from osm_merge_spark import geometry as G
+
+    rng = np.random.default_rng(42)
+    n = 60
+    lens_a = rng.integers(1, 12, n)
+    lens_b = rng.integers(1, 12, n)
+    off_a = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens_a, out=off_a[1:])
+    off_b = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens_b, out=off_b[1:])
+    flat_a = np.column_stack([
+        -106.0 + rng.random(off_a[-1]) * 0.01, 39.0 + rng.random(off_a[-1]) * 0.01
+    ])
+    flat_b = np.column_stack([
+        -106.0 + rng.random(off_b[-1]) * 0.01, 39.0 + rng.random(off_b[-1]) * 0.01
+    ])
+    padded = G.min_dist_pair_m(G.pad_ragged(off_a, flat_a), G.pad_ragged(off_b, flat_b))
+    ragged = G.min_dist_pair_m_ragged(off_a, flat_a, off_b, flat_b, chunk_elems=64)
+    assert np.allclose(padded, ragged, rtol=1e-9, atol=1e-9)
+    ds_p, an_p = G.endpoint_slope_angle(G.pad_ragged(off_a, flat_a), G.pad_ragged(off_b, flat_b))
+    ds_r, an_r = G.endpoint_slope_angle_ragged(off_a, flat_a, off_b, flat_b)
+    assert np.allclose(ds_p, ds_r) and np.allclose(an_p, an_r)
