@@ -92,17 +92,17 @@ def detect_lang(text: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def string_poly_hash(s: Column) -> Column:
-    """fold(chars, acc*31 + ascii(c)) mod (2^31-1), engine-portable.
+def string_poly_hash(s: Column, mult: int = 31) -> Column:
+    """fold(chars, acc*mult + ascii(c)) mod (2^31-1), engine-portable.
 
     DuckDB twin: ``list_reduce(list_prepend(0, list_transform(split(s,''),
-    c -> ord(c))), (a, c) -> (a * 31 + c) % 2147483647)``.
+    c -> ord(c))), (a, c) -> (a * mult + c) % 2147483647)``.
     """
     chars = F.split(s, "")
     return F.aggregate(
         chars,
         F.lit(0).cast("bigint"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
+        lambda acc, c: (acc * mult + F.ascii(c)) % HASH_MOD,
     )
 
 
@@ -156,6 +156,39 @@ def simhash16(text: Column | str) -> Column:
     for bcol in bits:
         out = out + bcol
     return out.cast("bigint")
+
+
+# independent per-block hash multipliers for the 64-bit simhash
+SIMHASH64_MULTS = (31, 37, 41, 43)
+
+
+def simhash64_blocks(text: Column | str) -> Column:
+    """64-bit SimHash as FOUR independent 16-bit blocks (array<bigint>).
+
+    Each block votes its 16 bits from a token-hash family with its own
+    polynomial multiplier, so the blocks are independent — exactly the
+    4×16-bit band decomposition the near-dup join buckets on.  Kept as four
+    small positive ints (not one packed int64) so the SQL oracle needs no
+    unsigned arithmetic and band buckets are free projections.
+
+    Scale note (vs the 16-bit variant): at 10^12 docs a 16-bit simhash has
+    only 2^8 half-block buckets → ~10^9.5 docs per bucket → quadratic
+    self-join.  4×16-bit bands give 65,536 buckets per band and the classic
+    guarantee that hamming ≤ 3 over 64 bits ⇒ at least one band is equal.
+    """
+
+    def voter(b: int):
+        return lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1
+
+    blocks = []
+    for mult in SIMHASH64_MULTS:
+        hs = F.transform(tokens(text), lambda tok: string_poly_hash(tok, mult))
+        out = F.lit(0)
+        for b in range(16):
+            vote = F.aggregate(hs, F.lit(0).cast("bigint"), voter(b))
+            out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        blocks.append(out.cast("bigint"))
+    return F.array(*blocks)
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:

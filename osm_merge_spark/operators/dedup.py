@@ -120,6 +120,71 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).drop("sh_a", "sh_b")
 
 
+def simhash64_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs via 64-bit simhash with 4×16-bit band buckets: any pair
+    within hamming ≤ 3 over 64 bits shares at least one band exactly (the
+    classic block strategy), so candidates come from four narrow equi-joins
+    on 16-bit keys — never an all-pairs scan.  This is the scale path; the
+    16-bit `simhash_pairs` stays as the readable-oracle variant."""
+    s = docs.select(F.col(id_col), TX.simhash64_blocks(F.col(text_col)).alias("blk"))
+    banded = s.select(
+        id_col,
+        "blk",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), F.element_at("blk", i + 1).alias("bucket")) for i in range(4)])
+        ).alias("bb"),
+    ).select(id_col, "blk", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("blk").alias("blk_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("blk").alias("blk_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = sum(
+        F.bit_count(F.element_at("blk_a", i + 1).bitwiseXOR(F.element_at("blk_b", i + 1)))
+        for i in range(4)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs_gated(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over MinHash-LSH-gated candidates.
+
+    The plain `ngram_jaccard_pairs` blocks only on a length bucket — a
+    popular length is a quadratic self-join at corpus scale.  Here the
+    candidate set comes from the MinHash band join (sub-linear, key-uniform)
+    and the expensive exact set intersection runs per candidate only."""
+    cand = minhash_lsh_pairs(docs, text_col, id_col, k=k, bands=bands).select("id_a", "id_b")
+    g = docs.select(F.col(id_col), TX.char_ngrams(F.col(text_col), n).alias("grams"))
+    pairs = (
+        cand.join(g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a")), "id_a")
+        .join(g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

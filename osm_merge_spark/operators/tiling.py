@@ -183,6 +183,120 @@ def assign_lines_to_tiles(
     )
 
 
+def clip_rects_convex(
+    min_lon: np.ndarray,
+    min_lat: np.ndarray,
+    max_lon: np.ndarray,
+    max_lat: np.ndarray,
+    ring: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sutherland–Hodgman clip of axis-aligned rects by one convex CCW ring,
+    vectorized over all rects at once.  Returns (poly (n, V, 2) NaN-padded,
+    counts (n,)).  The emit order and the t = dc/(dc-dn) intersection formula
+    are pinned so an ANSI-SQL twin reproduces the vertices bit-for-bit.
+
+    Reference semantics: `tm_splitter.py:144-145` (`box.intersection(aoi)`).
+    """
+    n = len(min_lon)
+    n_edges = len(ring) - 1
+    cap = 4 + n_edges + 2
+    P = np.full((n, cap, 2), np.nan)
+    P[:, 0, 0], P[:, 0, 1] = min_lon, min_lat
+    P[:, 1, 0], P[:, 1, 1] = max_lon, min_lat
+    P[:, 2, 0], P[:, 2, 1] = max_lon, max_lat
+    P[:, 3, 0], P[:, 3, 1] = min_lon, max_lat
+    cnt = np.full(n, 4, dtype=np.int64)
+    rows = np.arange(n)
+    for (e1x, e1y), (e2x, e2y) in zip(ring[:-1], ring[1:]):
+        maxc = int(cnt.max()) if n else 0
+        if maxc == 0:
+            break
+        # candidates: each subject edge (cur→nxt) emits [inter?, nxt?]
+        cand = np.full((n, maxc, 2, 2), np.nan)
+        mask = np.zeros((n, maxc, 2), dtype=bool)
+        for i in range(maxc):
+            valid = i < cnt
+            nxt_i = np.where(i + 1 < cnt, i + 1, 0)
+            cur = P[rows, i]
+            nxt = P[rows, nxt_i]
+            dc = (e2x - e1x) * (cur[:, 1] - e1y) - (e2y - e1y) * (cur[:, 0] - e1x)
+            dn = (e2x - e1x) * (nxt[:, 1] - e1y) - (e2y - e1y) * (nxt[:, 0] - e1x)
+            in_c, in_n = dc >= 0, dn >= 0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                t = dc / (dc - dn)
+            inter = cur + t[:, None] * (nxt - cur)
+            emit_inter = valid & (in_c ^ in_n)
+            emit_nxt = valid & in_n
+            cand[:, i, 0] = np.where(emit_inter[:, None], inter, np.nan)
+            cand[:, i, 1] = np.where(emit_nxt[:, None], nxt, np.nan)
+            mask[:, i, 0] = emit_inter
+            mask[:, i, 1] = emit_nxt
+        flat_mask = mask.reshape(n, -1)
+        flat_cand = cand.reshape(n, -1, 2)
+        pos = np.cumsum(flat_mask, axis=1) - 1
+        P = np.full((n, cap, 2), np.nan)
+        r, c = np.nonzero(flat_mask)
+        P[r, pos[r, c]] = flat_cand[r, c]
+        cnt = flat_mask.sum(axis=1)
+    return P, cnt
+
+
+def polygon_area_m2_padded(P: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Shoelace area in m² over NaN-padded polygons: local meters at the
+    polygon's bbox-mean latitude, sequential slot-order summation (the SQL
+    twin folds the same term order)."""
+    n = P.shape[0]
+    with np.errstate(invalid="ignore"):
+        ref_lat = (np.nanmin(P[:, :, 1], axis=1) + np.nanmax(P[:, :, 1], axis=1)) / 2.0
+    ref_lat = np.where(np.isfinite(ref_lat), ref_lat, 0.0)
+    sx = 111_320.0 * np.cos(np.radians(ref_lat))
+    acc = np.zeros(n)
+    rows = np.arange(n)
+    maxc = int(cnt.max()) if n else 0
+    for i in range(maxc):
+        valid = (i < cnt) & (cnt >= 3)
+        j = np.where(i + 1 < cnt, i + 1, 0)
+        xi = P[rows, i, 0] * sx
+        yi = P[rows, i, 1] * M_PER_DEG_LAT
+        xj = P[rows, j, 0] * sx
+        yj = P[rows, j, 1] * M_PER_DEG_LAT
+        term = xi * yj - xj * yi
+        acc = acc + np.where(valid, term, 0.0)
+    return np.abs(acc) / 2.0
+
+
+def clip_grid_to_aoi(grid: DataFrame, aoi_ring: list[tuple[float, float]], min_area_m2: float = 1e5) -> DataFrame:
+    """Task-grid AOI clip (`tm_splitter.py:144-177`): intersect every grid
+    tile with the AOI *polygon* (not just its bbox) and drop fragments whose
+    clipped area is below ``min_area_m2`` (the reference's 1e5 m² filter at
+    `:170-177`).  One Arrow batch pass; adds ``clip_geom`` (the fragment
+    ring, flat [x0,y0,...]) and ``area_m2``."""
+    ring = np.asarray(aoi_ring, dtype=np.float64)
+
+    _schema = T.StructType(
+        [
+            T.StructField("clip_geom", T.ArrayType(T.DoubleType())),
+            T.StructField("area_m2", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(_schema)
+    def _clip(min_lon: pd.Series, min_lat: pd.Series, max_lon: pd.Series, max_lat: pd.Series) -> pd.DataFrame:
+        P, cnt = clip_rects_convex(
+            min_lon.to_numpy(), min_lat.to_numpy(), max_lon.to_numpy(), max_lat.to_numpy(), ring
+        )
+        area = polygon_area_m2_padded(P, cnt)
+        geoms = [P[i, : cnt[i]].reshape(-1) for i in range(len(cnt))]
+        return pd.DataFrame({"clip_geom": geoms, "area_m2": area})
+
+    out = grid.withColumn("__c", _clip.asNondeterministic()("min_lon", "min_lat", "max_lon", "max_lat"))
+    return (
+        out.select("*", F.col("__c.clip_geom").alias("clip_geom"), F.col("__c.area_m2").alias("area_m2"))
+        .drop("__c")
+        .filter(F.col("area_m2") >= min_area_m2)
+    )
+
+
 def write_by_tile(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Per-tile fan-out sink — the Spark twin of one-file-per-task
     (`tm_splitter.py:370-395`): hive-partitioned parquet by tile_id."""

@@ -756,6 +756,105 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _simhash64_sql() -> str:
+    def poly(mult: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))), "
+            f"(a, c) -> (a * {mult} + c) % 2147483647)"
+        )
+
+    def bits(h: str) -> str:
+        return "CAST(" + " + ".join(
+            f"(CASE WHEN sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(16)
+        ) + " AS BIGINT)"
+
+    hcols = ", ".join(f"{poly(m)} AS h{i}" for i, m in enumerate(TX.SIMHASH64_MULTS))
+    aggs = ", ".join(bits(f"h{i}") + f" AS b{i}" for i in range(4))
+    coal = ", ".join(f"coalesce(agg.b{i}, 0) AS b{i}" for i in range(4))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, b{i} AS bucket, b0, b1, b2, b3 FROM blk" for i in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(ab{i}, bb{i}))" for i in range(4))
+    asel = ", ".join(f"a.b{i} AS ab{i}" for i in range(4))
+    bsel = ", ".join(f"b.b{i} AS bb{i}" for i in range(4))
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_SQL.format(t="text")}) AS tok FROM documents),
+    h AS (SELECT doc_id, {hcols} FROM t),
+    agg AS (SELECT doc_id, {aggs} FROM h GROUP BY doc_id),
+    blk AS (SELECT d.doc_id, {coal} FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+    banded AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {asel}, {bsel}
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+    FROM cand WHERE {ham} <= 12 ORDER BY id_a, id_b
+    """
+
+
+@register("q_simhash64_pairs", _simhash64_sql())
+def q_simhash64_pairs(spark, sf_dir):
+    """64-bit simhash near-dup pairs via 4×16-bit band buckets — the
+    scale-safe variant (hamming ≤ 12 on this small corpus so real pairs
+    exist; the band guarantee covers hamming ≤ 3)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash64_pairs(d, max_hamming=12).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_ngram_jaccard_gated",
+    f"""
+    WITH h AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents),
+    sig AS (SELECT doc_id, {", ".join(_mh_sql(i) for i in range(4))} FROM h),
+    banded AS (
+      SELECT doc_id, 0 AS band, CAST(mh0 AS BIGINT) * 2147483647 + mh1 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, CAST(mh2 AS BIGINT) * 2147483647 + mh3 AS bucket FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 2, 1)),
+               i -> substr(text, CAST(i AS INT), 3))) AS grams
+      FROM documents
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(ga.grams, gb.grams)) AS inter_size,
+           len(list_distinct(list_concat(ga.grams, gb.grams))) AS union_size
+    FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b
+    WHERE len(list_intersect(ga.grams, gb.grams)) * 2
+          >= len(list_distinct(list_concat(ga.grams, gb.grams)))
+    ORDER BY id_a, id_b
+    """,
+)
+def q_ngram_jaccard_gated(spark, sf_dir):
+    """Exact char-3-gram Jaccard over MinHash-band-gated candidates — the
+    scale-safe blocking (the length-bucket variant stays as the baseline);
+    integer sizes so parity is exact."""
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(d, k=4, bands=2).select("id_a", "id_b")
+    g = d.select("doc_id", TX.char_ngrams(F.col("text"), 3).alias("grams"))
+    pairs = (
+        cand.join(g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a")), "id_a")
+        .join(g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.select("id_a", "id_b", inter.alias("inter_size"), union.alias("union_size"))
+        .filter(F.col("inter_size") * 2 >= F.col("union_size"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Language ID + quality scoring + token counts
 # ---------------------------------------------------------------------------
@@ -1768,6 +1867,104 @@ def q_boundary_clip(spark, sf_dir):
 
     pts = customer_points(spark, sf_dir)
     return pts.filter(pip("lon", "lat")).select("c_custkey", "lon", "lat").orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Grid AOI-polygon clip + area filter (tm_splitter.py:144-177)
+# ---------------------------------------------------------------------------
+
+_AOI_BBOX = (
+    min(x for x, _ in _AOI_RING), min(y for _, y in _AOI_RING),
+    max(x for x, _ in _AOI_RING), max(y for _, y in _AOI_RING),
+)
+
+
+def _dbl(v: float) -> str:
+    """DOUBLE-typed literal: DuckDB parses bare decimal literals as DECIMAL,
+    so constant-only subexpressions would get exact decimal arithmetic and
+    diverge from the engine's IEEE-double kernel by an ulp."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _grid_clip_sql(tile_m: float, min_area: float) -> str:
+    """DuckDB twin of make_grid → clip_grid_to_aoi: the Sutherland–Hodgman
+    clip unrolled one CTE stage per AOI edge (list lambdas carry the
+    polygon), then the same local-meters shoelace fold."""
+    min_lon, min_lat, max_lon, max_lat = _AOI_BBOX
+    dlon, dlat, nx, ny = TL.grid_params(min_lon, min_lat, max_lon, max_lat, tile_m)
+    stages, prev = [], "s0"
+    for k, ((e1x, e1y), (e2x, e2y)) in enumerate(zip(_AOI_RING[:-1], _AOI_RING[1:]), start=1):
+        nxt = "poly[CASE WHEN i = len(poly) THEN 1 ELSE i + 1 END]"
+        cur = "poly[i]"
+
+        def d(p):
+            return (
+                f"(({_dbl(e2x)} - {_dbl(e1x)}) * ({p}.y - {_dbl(e1y)})"
+                f" - ({_dbl(e2y)} - {_dbl(e1y)}) * ({p}.x - {_dbl(e1x)}))"
+            )
+
+        dc, dn = d(cur), d(nxt)
+        inter = (
+            f"struct_pack(x := {cur}.x + ({dc} / ({dc} - {dn})) * ({nxt}.x - {cur}.x), "
+            f"y := {cur}.y + ({dc} / ({dc} - {dn})) * ({nxt}.y - {cur}.y))"
+        )
+        # MATERIALIZED: each stage references poly ~20×; inlined CTEs would
+        # nest the previous stage's expression into every reference (20^k
+        # planner blowup)
+        stages.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT * EXCLUDE (poly),
+    flatten(list_transform(generate_series(1, len(poly)), i ->
+      CASE WHEN {dn} >= 0 AND {dc} >= 0 THEN [{nxt}]
+           WHEN {dn} >= 0 THEN [{inter}, {nxt}]
+           WHEN {dc} >= 0 THEN [{inter}]
+           ELSE CAST([] AS STRUCT(x DOUBLE, y DOUBLE)[]) END)) AS poly
+  FROM {prev})"""
+        )
+        prev = f"s{k}"
+    wrap = "CASE WHEN i = len(poly) THEN 1 ELSE i + 1 END"
+    term = (
+        f"(poly[i].x * sx) * (poly[{wrap}].y * 110540.0) - (poly[{wrap}].x * sx) * (poly[i].y * 110540.0)"
+    )
+    return f"""
+WITH g AS (
+  SELECT tx, ty FROM generate_series(0, {nx - 1}) t1(tx), generate_series(0, {ny - 1}) t2(ty)
+),
+s0 AS (
+  SELECT 'Task_' || CAST(tx * {ny} + ty AS VARCHAR) AS tile_id,
+         [struct_pack(x := {_dbl(min_lon)} + tx * {_dbl(dlon)}, y := {_dbl(min_lat)} + ty * {_dbl(dlat)}),
+          struct_pack(x := {_dbl(min_lon)} + (tx + 1) * {_dbl(dlon)}, y := {_dbl(min_lat)} + ty * {_dbl(dlat)}),
+          struct_pack(x := {_dbl(min_lon)} + (tx + 1) * {_dbl(dlon)}, y := {_dbl(min_lat)} + (ty + 1) * {_dbl(dlat)}),
+          struct_pack(x := {_dbl(min_lon)} + tx * {_dbl(dlon)}, y := {_dbl(min_lat)} + (ty + 1) * {_dbl(dlat)})] AS poly
+  FROM g
+),
+{', '.join(stages)},
+fin AS MATERIALIZED (SELECT tile_id, poly FROM {prev} WHERE len(poly) >= 3),
+m1 AS MATERIALIZED (
+  SELECT tile_id, poly,
+         (list_min(list_transform(poly, p -> p.y)) + list_max(list_transform(poly, p -> p.y))) / 2.0 AS ref
+  FROM fin
+),
+m2 AS MATERIALIZED (SELECT *, 111320.0 * cos(radians(ref)) AS sx FROM m1),
+ar AS (
+  SELECT tile_id,
+         abs(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, len(poly)), i -> {term})), (a, b) -> a + b)) / 2.0 AS area
+  FROM m2
+)
+SELECT tile_id, round(area, 2) AS area_m2 FROM ar WHERE area >= {min_area!r} ORDER BY tile_id
+"""
+
+
+@register("q_grid_clip", _grid_clip_sql(20_000.0, 1e5))
+def q_grid_clip(spark, sf_dir):
+    """Task-grid AOI-polygon clip + area filter (`tm_splitter.py:144-177`):
+    grid tiles intersected with the AOI pentagon, fragments < 1e5 m²
+    dropped — clipped areas hash-checked against the unrolled SQL clip."""
+    min_lon, min_lat, max_lon, max_lat = _AOI_BBOX
+    grid = TL.make_grid(spark, min_lon, min_lat, max_lon, max_lat, tile_m=20_000.0)
+    out = TL.clip_grid_to_aoi(grid, _AOI_RING, min_area_m2=1e5)
+    return out.select("tile_id", F.round("area_m2", 2).alias("area_m2")).orderBy("tile_id")
 
 
 from .conflate_sql import simplify_sql as _simplify_sql

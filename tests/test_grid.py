@@ -87,3 +87,28 @@ def test_cover_polyline_multirow_and_points():
 def test_cell_size_m():
     assert grid.cell_size_m(18, 0.0) == pytest.approx(152.87, rel=1e-3)
     assert grid.cell_size_m(18, 60.0) == pytest.approx(152.87 / 2, rel=1e-2)
+
+
+def test_clip_rects_convex_against_known_areas():
+    """SH clip kernel: interior rect keeps its full area; a rect sticking
+    out of the AOI loses exactly the outside part (checked on a square AOI
+    where the truth is hand-computable)."""
+    import numpy as np
+    from osm_merge_spark.operators import tiling as TL
+
+    ring = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)])
+    P, cnt = TL.clip_rects_convex(
+        np.array([0.2, 0.5, 2.0, -0.5]),   # interior, straddles, outside, half-in
+        np.array([0.2, 0.5, 2.0, 0.25]),
+        np.array([0.4, 1.5, 3.0, 0.25]),
+        np.array([0.4, 1.5, 3.0, 0.75]),
+        ring,
+    )
+    assert cnt[0] == 4 and cnt[2] == 0
+    def areas(i):
+        p = P[i, : cnt[i]]
+        x, y = p[:, 0], p[:, 1]
+        return abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) / 2.0
+    assert abs(areas(0) - 0.04) < 1e-12          # fully inside: 0.2 x 0.2
+    assert abs(areas(1) - 0.25) < 1e-12          # clipped to [0.5,1]^2
+    assert abs(areas(3) - 0.125) < 1e-12         # clipped to x in [0, .25]
