@@ -150,3 +150,41 @@ def secondary_slice(
     return secondary_with_tiles.filter(
         (F.col("max_x") + pad_deg >= lo) & (F.col("min_x") - pad_deg < hi)
     )
+
+
+# max lon-degrees per threshold meter over the AOI's latitude band (≤41°N):
+# 7 m / (111320 · cos 41°) ≈ 8.4e-5 — rounded up with slack
+THRESHOLD_X_DEG = 1e-4
+
+
+def primary_extents(
+    primary_with_tiles: DataFrame, boundaries: list[float]
+) -> list[tuple[float, float]]:
+    """Per-rank [min(min_x), max(max_x)] of the OWNED primaries — the exact
+    x-window a rank's conflation can ever look at.  Feeding this to
+    :func:`secondary_slice_exact` replaces the blanket DEFAULT_PAD_DEG
+    (sized to the worst-case feature extent) with the measured one, cutting
+    border replication ~3× at K=4."""
+    rank = sum((F.col("anchor_x") >= F.lit(b)).cast("int") for b in boundaries) if boundaries else F.lit(0)
+    rows = (
+        primary_with_tiles.withColumn("__r", rank)
+        .groupBy("__r")
+        .agg(F.min("min_x").alias("lo"), F.max("max_x").alias("hi"))
+        .collect()
+    )
+    by_rank = {r["__r"]: (float(r["lo"]), float(r["hi"])) for r in rows}
+    return [by_rank.get(r, (0.0, 0.0)) for r in range(len(boundaries) + 1)]
+
+
+def secondary_slice_exact(
+    secondary_with_tiles: DataFrame,
+    extent: tuple[float, float],
+    thr_deg: float = THRESHOLD_X_DEG,
+) -> DataFrame:
+    """Secondaries a rank actually needs: x-extent within the threshold of
+    the rank's primary extent (x-gap lower-bounds true distance, so this is
+    lossless for the ≤7 m join)."""
+    lo, hi = extent
+    return secondary_with_tiles.filter(
+        (F.col("max_x") >= lo - thr_deg) & (F.col("min_x") <= hi + thr_deg)
+    )

@@ -53,3 +53,32 @@ def test_secondary_replication_is_bounded(spark):
     selected = sum(DST.secondary_slice(osm, bounds, r).count() for r in range(k))
     # replication factor: > 1 (borders) but far below full duplication (k)
     assert total <= selected <= 2.5 * total
+
+
+def test_exact_slices_match_and_replicate_less(spark):
+    """The measured-extent secondary slice is (a) lossless — union of
+    executor-local conflations equals the single run — and (b) strictly
+    tighter than the blanket-pad slice."""
+    ext = DST.with_tile_columns(synth.external_ways(spark, SF))
+    osm = DST.with_tile_columns(synth.osm_ways(spark, SF))
+    drop = ["anchor_x", "anchor_y", "min_x", "max_x"]
+    single, single_new = C.conflate(ext.drop(*drop), osm.drop(*drop))
+    expected = _pairs(single)
+    expected_new = {r["ext_id"] for r in single_new.select("ext_id").collect()}
+
+    k = 4
+    bounds = DST.range_boundaries(ext, k)
+    extents = DST.primary_extents(ext, bounds)
+    got, got_new = set(), set()
+    n_exact, n_padded = 0, 0
+    for rank in range(k):
+        p = DST.primary_slice(ext, bounds, rank).drop(*drop)
+        s = DST.secondary_slice_exact(osm, extents[rank])
+        n_exact += s.count()
+        n_padded += DST.secondary_slice(osm, bounds, rank).count()
+        conflated, new = C.conflate(p, s.drop(*drop))
+        got |= _pairs(conflated)
+        got_new |= {r["ext_id"] for r in new.select("ext_id").collect()}
+    assert got == expected
+    assert got_new == expected_new
+    assert n_exact <= n_padded
