@@ -196,3 +196,12 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """BPE-ish token count: greedy regex tiling — letter runs count in
+    <=4-char pieces (a run of length L yields ceil(L/4) matches), each digit
+    and each non-space symbol is its own piece.  Approximates subword-BPE
+    token counts without a vocabulary, entirely JVM-side (regexp_count)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(t, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"))

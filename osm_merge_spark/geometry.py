@@ -158,6 +158,152 @@ def polyline_length_m(offsets: np.ndarray, flat_xy: np.ndarray) -> np.ndarray:
     return out
 
 
+def mercator_xy(flat_xy: np.ndarray) -> np.ndarray:
+    """lon/lat degrees → the (spherical) web-mercator frame in degree units:
+    x = lon, y = degrees(ln(tan(pi/4 + lat/2))).  Topology (hulls,
+    intersections) in this frame is identical to EPSG:3857 — the two differ
+    only by the uniform scale R·pi/180."""
+    out = np.empty_like(flat_xy)
+    out[..., 0] = flat_xy[..., 0]
+    lat = np.clip(flat_xy[..., 1], -85.06, 85.06)
+    out[..., 1] = np.degrees(np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)))
+    return out
+
+
+def polyline_length_merc_m(offsets: np.ndarray, flat_xy: np.ndarray) -> np.ndarray:
+    """Per-row polyline length in EPSG:3857 meters (latitude-inflated by
+    1/cos(lat)) — the frame the reference measures lengths in
+    (`osm_merge/conflator.py:586-591,609`)."""
+    n = len(offsets) - 1
+    if flat_xy.shape[0] < 2:
+        return np.zeros(n)
+    m = mercator_xy(flat_xy) * (np.pi / 180.0 * EARTH_R)
+    d = np.hypot(m[1:, 0] - m[:-1, 0], m[1:, 1] - m[:-1, 1])
+    row = np.repeat(np.arange(n), np.diff(offsets))
+    valid = row[:-1] == row[1:]
+    out = np.zeros(n)
+    np.add.at(out, row[:-1][valid], d[valid])
+    return out
+
+
+def convex_hull_2d(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain over (m, 2) points → CCW hull vertices,
+    first point not repeated.  Collinear inputs return the 2 extreme points;
+    a single point returns itself."""
+    pts = np.unique(pts[~np.isnan(pts).any(axis=1)], axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def _half(p):
+        out: list[np.ndarray] = []
+        for q in p:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (q[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (q[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+
+    lower = _half(pts)
+    upper = _half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return hull if len(hull) >= 2 else pts[:1]
+
+
+def polyline_intersects_hull(new_pts: np.ndarray, old_pts: np.ndarray) -> bool:
+    """Does the polyline ``new_pts`` intersect (touch counts) the convex hull
+    of ``old_pts``?  Both in a common planar frame.  Exactly shapely's
+    ``old.convex_hull.dwithin(new, 0)`` — the J3 containment primitive
+    (`osm_merge/conflator.py:617-624`)."""
+    new_pts = new_pts[~np.isnan(new_pts).any(axis=1)]
+    if len(new_pts) == 0 or len(old_pts) == 0:
+        return False
+    hull = convex_hull_2d(old_pts)
+    h = len(hull)
+    if h >= 3:
+        # inside-or-on for any new vertex: CCW hull → all edge crosses >= 0
+        a = hull
+        b = np.roll(hull, -1, axis=0)
+        cross = (b[None, :, 0] - a[None, :, 0]) * (new_pts[:, None, 1] - a[None, :, 1]) - (
+            b[None, :, 1] - a[None, :, 1]
+        ) * (new_pts[:, None, 0] - a[None, :, 0])
+        if bool((cross >= -1e-18).all(axis=1).any()):
+            return True
+        ring = np.vstack([hull, hull[:1]])
+    else:
+        ring = hull  # degenerate hull: a point or a segment
+    # segment-level contact: proper crossings + touch (distance == 0)
+    eps2 = 1e-24
+    if len(new_pts) >= 2 and len(ring) >= 2:
+        na, nb = new_pts[:-1], new_pts[1:]
+        ha, hb = ring[:-1], ring[1:]
+        hit = _seg_intersect(
+            na[:, None, 0], na[:, None, 1], nb[:, None, 0], nb[:, None, 1],
+            ha[None, :, 0], ha[None, :, 1], hb[None, :, 0], hb[None, :, 1],
+        )
+        if bool(hit.any()):
+            return True
+        d2 = _point_seg_dist2(
+            new_pts[:, None, 0], new_pts[:, None, 1],
+            ha[None, :, 0], ha[None, :, 1], hb[None, :, 0], hb[None, :, 1],
+        )
+        if bool((d2 <= eps2).any()):
+            return True
+        d2 = _point_seg_dist2(
+            ring[:, None, 0], ring[:, None, 1],
+            na[None, :, 0], na[None, :, 1], nb[None, :, 0], nb[None, :, 1],
+        )
+        return bool((d2 <= eps2).any())
+    if len(new_pts) >= 2:  # hull collapsed to a single point
+        d2 = _point_seg_dist2(
+            ring[:, None, 0], ring[:, None, 1],
+            new_pts[None, :-1, 0], new_pts[None, :-1, 1],
+            new_pts[None, 1:, 0], new_pts[None, 1:, 1],
+        )
+        return bool((d2 <= eps2).any())
+    if len(ring) >= 2:  # new collapsed to a single point
+        d2 = _point_seg_dist2(
+            new_pts[:, None, 0], new_pts[:, None, 1],
+            ring[None, :-1, 0], ring[None, :-1, 1],
+            ring[None, 1:, 0], ring[None, 1:, 1],
+        )
+        return bool((d2 <= eps2).any())
+    d2 = np.min(
+        (new_pts[:, None, 0] - ring[None, :, 0]) ** 2 + (new_pts[:, None, 1] - ring[None, :, 1]) ** 2
+    )
+    return bool(d2 <= eps2)
+
+
+def hull_contact(
+    off_new: np.ndarray,
+    flat_new: np.ndarray,
+    off_old: np.ndarray,
+    flat_old: np.ndarray,
+    idx: np.ndarray,
+) -> np.ndarray:
+    """J3 containment test for the pair subset ``idx``: does the new (primary)
+    polyline intersect the convex hull of the old (OSM) polyline, in the
+    mercator frame (the reference reprojects to 3857 first,
+    `conflator.py:586-591`).
+
+    Faithful to the reference INCLUDING its quirk: `conflator.py:617-621`
+    computes BOTH hulls from ``oldobj`` (``newpoly = oldobj.convex_hull``),
+    so ``innew`` is trivially true and the test reduces to
+    ``intersects(hull(old), new)`` at size_threshold=0.
+
+    Per-row Python over the masked subset only — length-mismatch pairs are
+    rare by construction (candidates already sit within the distance
+    threshold), so this never runs on the bulk path."""
+    out = np.zeros(len(idx), dtype=bool)
+    for k, i in enumerate(idx):
+        new = mercator_xy(flat_new[off_new[i]: off_new[i + 1]])
+        old = mercator_xy(flat_old[off_old[i]: off_old[i + 1]])
+        old = old[~np.isnan(old).any(axis=1)]
+        out[k] = polyline_intersects_hull(new, old)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Padded batch layout: pairwise kernels operate on (n, P, 2) NaN-padded arrays
 # ---------------------------------------------------------------------------

@@ -192,27 +192,25 @@ def geom_score_udf(geom_a: pd.Series, geom_b: pd.Series) -> pd.DataFrame:
     else:
         dist = G.min_dist_pair_m_ragged(off_a, flat_a, off_b, flat_b)
         dslope, angle = G.endpoint_slope_angle_ragged(off_a, flat_a, off_b, flat_b)
-    # J3: severe length mismatch → mutual-containment test, else sentinel -1
+    # J3: severe length mismatch → hull-containment test, else sentinel -1
+    # (`conflator.py:608-630`).  The test is the reference's EXACT one —
+    # intersects(convex_hull(old), new) in the mercator frame, including the
+    # reference's own quirk that both hulls come from ``oldobj``
+    # (`conflator.py:617-621`: ``newpoly = oldobj.convex_hull``), which makes
+    # ``innew`` trivially true; at size_threshold=0, dwithin == intersects.
+    # Deliberate deviation, documented: the TRIGGER compares true (haversine)
+    # meters, not the reference's latitude-inflated EPSG:3857 lengths — the
+    # 3857 frame makes the 1000 m cut fire at different physical lengths per
+    # latitude (1.3x at 40°N).  ``G.polyline_length_merc_m`` exists for
+    # callers that want bug-level parity.
     len_a = G.polyline_length_m(off_a, flat_a)
     len_b = G.polyline_length_m(off_b, flat_b)
     mismatch = np.abs(len_a - len_b) > LENGTH_MISMATCH_M
     if mismatch.any():
-        # "mutually within" proxy for the reference's hull+dwithin test
-        # (`conflator.py:608-630`): bboxes mutually contained after padding
-        # by the threshold → dist 0.0, else the −1.0 reject sentinel.
-        bb_a = G.bbox_per_row(off_a, flat_a)
-        bb_b = G.bbox_per_row(off_b, flat_b)
-        pad = DEFAULT_THRESHOLD_M / 110_540.0
-        a_in_b = (
-            (bb_a[:, 0] >= bb_b[:, 0] - pad) & (bb_a[:, 1] >= bb_b[:, 1] - pad)
-            & (bb_a[:, 2] <= bb_b[:, 2] + pad) & (bb_a[:, 3] <= bb_b[:, 3] + pad)
-        )
-        b_in_a = (
-            (bb_b[:, 0] >= bb_a[:, 0] - pad) & (bb_b[:, 1] >= bb_a[:, 1] - pad)
-            & (bb_b[:, 2] <= bb_a[:, 2] + pad) & (bb_b[:, 3] <= bb_a[:, 3] + pad)
-        )
-        within = a_in_b | b_in_a
-        dist = np.where(mismatch & within, 0.0, np.where(mismatch, -1.0, dist))
+        idx = np.nonzero(mismatch)[0]
+        # a = primary/new (external), b = secondary/old (OSM): hull from OLD
+        contact = G.hull_contact(off_a, flat_a, off_b, flat_b, idx)
+        dist[idx] = np.where(contact, 0.0, -1.0)
     return pd.DataFrame({"dist": dist, "dslope": dslope, "angle": angle})
 
 

@@ -221,3 +221,43 @@ def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
         .groupBy("fp")
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
     )
+
+
+def embedding_neardup_pairs(
+    docs: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Scale path: candidate pairs come from the multi-table hyperplane LSH
+    bucket equi-join (never an all-pairs cross join); the exact cosine then
+    gates at ``threshold``.  Near-identical embeddings agree on every
+    hyperplane sign, so recall at thresholds >= ~0.9 is effectively 1 while
+    candidate volume stays linear in corpus size.  Output pairs are
+    canonicalized ``id_a < id_b`` and deduped across tables."""
+    from . import similarity as S
+
+    side = (
+        docs.select(F.col(id_col), F.col(vec_col).alias("vec"))
+        .withColumn("nrm", S.norm(F.col("vec")))
+        .withColumn("bucket", F.explode(S.lsh_buckets(F.col("vec"), dim, n_planes, n_tables)))
+    )
+    a = side.select(
+        F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"), "bucket"
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"), "bucket"
+    )
+    j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    cs = F.when(denom == 0, F.lit(0.0)).otherwise(S.dot(F.col("vec_a"), F.col("vec_b")) / denom)
+    return (
+        j.withColumn("cos_sim", F.round(cs, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -107,3 +107,95 @@ def synth_payload(ref: Column | str) -> Column:
     stands in for the TMS download (`basemapper.py:241-270`)."""
     r = F.col(ref) if isinstance(ref, str) else ref
     return F.to_binary(F.md5(r), F.lit("hex"))
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample plumbing (decode stubs, real distributed shape)
+# ---------------------------------------------------------------------------
+
+MEDIA_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("thumb_sig", T.StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Thumbnail/resize stage over (doc_id, media_ref, payload binary) via
+    ``mapInPandas``.  The resample kernel is a STUB (no image libs in this
+    container): output dims follow the aspect-preserving integer math a real
+    resizer would use, and ``thumb_sig`` deterministically stands in for the
+    resized bytes (md5 of ref|dims) — swap the inner lambda for PIL/opencv
+    and the distributed shape (schema, Arrow batches, partitioning) is
+    already final."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = decode_media_batch(pdf["payload"])
+            w = dims["width"].to_numpy()
+            h = dims["height"].to_numpy()
+            out_w = np.minimum(w, max_dim)
+            # floor division — integer aspect scaling, reproducible in SQL
+            out_h = np.maximum((h * out_w) // w, 1).astype(np.int64)
+            sig = [
+                hashlib.md5(f"{r}|{ww}x{hh}".encode()).hexdigest()
+                for r, ww, hh in zip(pdf["media_ref"], out_w, out_h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_ref": pdf["media_ref"].values,
+                    "out_w": out_w.astype(np.int32),
+                    "out_h": out_h.astype(np.int32),
+                    "thumb_sig": sig,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_offset", T.DoubleType()),
+        T.StructField("frame_sig", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4, fps: float = 30.0) -> DataFrame:
+    """Video frame sampling as a row-generating ``mapInPandas`` (the UDTF
+    flavor: one output row per sampled frame).  The demuxer is a STUB —
+    frame count is derived deterministically from the payload bytes and
+    ``frame_sig`` stands in for the frame blob — but the fan-out shape
+    (explode inside Arrow batches, no driver involvement, schema-stable)
+    is exactly what a real ffmpeg-backed sampler drops into."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                b = np.frombuffer(blob if blob is not None else b"\x00", dtype=np.uint8)
+                hs = int(b[: min(64, len(b))].sum())
+                n_frames = 1 + hs % 16
+                for idx in range(0, n_frames, every_n):
+                    rows.append(
+                        (
+                            doc_id,
+                            ref,
+                            idx,
+                            round(idx / fps, 4),
+                            hashlib.md5(f"{ref}#frame{idx}".encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_ref", "frame_idx", "t_offset", "frame_sig"])
+
+    return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)

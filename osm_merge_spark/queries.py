@@ -1191,12 +1191,72 @@ def q_line_tiles(spark, sf_dir):
     )
 
 
-@register("q_lsh_topk", None)
+def _lsh_proj_sql(vec: str, h: int, t: int) -> str:
+    """SQL for one hyperplane projection — coefficients are the same modular
+    arithmetic as ``similarity._hyperplane``, fold order matches Spark's
+    ``aggregate`` for bit-identical doubles."""
+    s = h + t * 97
+    coef = f"CAST((({s} * 31 + (i - 1) * 17 + {t} * 7) % 13) - 6 AS DOUBLE)"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({vec}, (x, i) -> CAST(x AS DOUBLE) * {coef})), (a, b) -> a + b)"
+    )
+
+
+def _lsh_bucket_sql(vec: str, t: int, n_planes: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_lsh_proj_sql(vec, h, t)} > 0 THEN {1 << (n_planes - 1 - h)} ELSE 0 END)"
+        for h in range(n_planes)
+    )
+    return f"({bits})"
+
+
+def _lsh_bucket_cols_sql(vec: str, n_planes: int, n_tables: int) -> str:
+    return ", ".join(f"{_lsh_bucket_sql(vec, t, n_planes)} AS b{t}" for t in range(n_tables))
+
+
+def _lsh_topk_sql(n_planes: int = 8, n_tables: int = 4, k: int = 3) -> str:
+    """DuckDB twin of multi-table hyperplane LSH: the hyperplane coefficients
+    are pure modular arithmetic of (plane, table, index) — see
+    ``similarity._hyperplane`` — so every bucket id is reproducible in SQL
+    (same left-fold order as Spark's ``aggregate`` for bit-identical
+    projections)."""
+    b_cols = lambda vec: _lsh_bucket_cols_sql(vec, n_planes, n_tables)  # noqa: E731
+    same_bucket = " OR ".join(f"p.b{t} = t.b{t}" for t in range(n_tables))
+    return f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding AS p_vec, {b_cols("embedding")}
+      FROM embeddings WHERE vec_id < 50
+    ), t AS (
+      SELECT vec_id, embedding AS t_vec, {b_cols("embedding")}
+      FROM embeddings
+    ), pairs AS (
+      SELECT DISTINCT p.probe_id, t.vec_id, p.p_vec, t.t_vec
+      FROM p JOIN t ON ({same_bucket}) AND p.probe_id <> t.vec_id
+    ), scored AS (
+      SELECT probe_id, vec_id,
+             round(CASE WHEN {_NORM_SQL.format(a="p_vec")} * {_NORM_SQL.format(a="t_vec")} = 0 THEN 0.0
+                        ELSE {_DOT_SQL.format(a="p_vec", b="t_vec")}
+                             / ({_NORM_SQL.format(a="p_vec")} * {_NORM_SQL.format(a="t_vec")})
+                   END, 6) AS cos_sim
+      FROM pairs
+    )
+    SELECT probe_id, vec_id, cos_sim, rank FROM (
+      SELECT probe_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY probe_id, rank
+    """
+
+
+@register("q_lsh_topk", _lsh_topk_sql())
 def q_lsh_topk(spark, sf_dir):
-    """Approximate ANN (multi-table hyperplane LSH; recall floor in pytest)."""
+    """Approximate ANN (multi-table hyperplane LSH): bucket equi-join, exact
+    cosine within bucket — hash-checked against a DuckDB twin that recomputes
+    the deterministic hyperplanes (recall floor additionally in pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 50).select(F.col("vec_id").alias("probe_id"), "embedding")
-    return S.lsh_topk(probes, emb, dim=64, k=3)
+    return S.lsh_topk(probes, emb, dim=64, k=3).orderBy("probe_id", "rank")
 
 
 def _media_sql() -> str:
@@ -1987,3 +2047,271 @@ def q_simplify_lines(spark, sf_dir):
 
     out = ways.select("way_id", simplify("geom").alias("geom_simplified"), F.size("geom").alias("n_before"))
     return out.select("way_id", (F.size("geom_simplified") / 2).alias("n_after"), (F.col("n_before") / 2).alias("n_pts"))
+
+
+# ---------------------------------------------------------------------------
+# P11 — CRS reprojection (EPSG:4326 ↔ EPSG:3857), pure Column math
+# ---------------------------------------------------------------------------
+
+from .functions import geo as GEO  # noqa: E402
+
+
+@register(
+    "q_reproject_3857",
+    """
+    WITH p AS (
+      SELECT o_orderkey,
+             -109.0 + (o_orderkey % 500) * 0.01 AS lon,
+             37.0 + ((o_orderkey * 7) % 350) * 0.01 AS lat
+      FROM orders
+    ), m AS (
+      SELECT o_orderkey, lon, lat,
+             radians(lon) * 6378137.0 AS x,
+             ln(tan(pi() / 4 + radians(
+               least(greatest(lat, -85.0511287798066), 85.0511287798066)) / 2))
+               * 6378137.0 AS y
+      FROM p
+    )
+    SELECT o_orderkey,
+           round(x, 4) AS x_3857,
+           round(y, 4) AS y_3857,
+           round(degrees(x / 6378137.0), 6) AS lon_rt,
+           round(degrees(2 * atan(exp(y / 6378137.0)) - pi() / 2), 6) AS lat_rt
+    FROM m ORDER BY o_orderkey
+    """,
+)
+def q_reproject_3857(spark, sf_dir):
+    """P11: exact spherical web-mercator reprojection + inverse roundtrip
+    (`conflator.py:482-487,586-591`, `tm_splitter.py:120-124`) as
+    whole-stage-codegen Column math over the flat array geometry — the
+    array path (``transform``) is exercised, then elements extracted."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    lon = F.lit(-109.0) + F.pmod(k, F.lit(500)) * 0.01
+    lat = F.lit(37.0) + F.pmod(k * 7, F.lit(350)) * 0.01
+    pts = o.select("o_orderkey", F.array(lon, lat).cast("array<double>").alias("geom"))
+    proj = pts.select("o_orderkey", GEO.reproject_3857("geom").alias("g3857"))
+    back = proj.withColumn("g4326", GEO.reproject_4326("g3857"))
+    return back.select(
+        "o_orderkey",
+        F.round(F.element_at("g3857", 1), 4).alias("x_3857"),
+        F.round(F.element_at("g3857", 2), 4).alias("y_3857"),
+        F.round(F.element_at("g4326", 1), 6).alias("lon_rt"),
+        F.round(F.element_at("g4326", 2), 6).alias("lat_rt"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# P4 — null/degenerate-geometry filter (explicit operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_degenerate_filter",
+    """
+    WITH p AS (
+      SELECT o_orderkey, o_orderkey % 5 AS m,
+             -109.0 + (o_orderkey % 500) * 0.01 AS lon,
+             37.0 + ((o_orderkey * 7) % 350) * 0.01 AS lat
+      FROM orders
+    ), g AS (
+      SELECT o_orderkey,
+             CASE WHEN m = 0 THEN NULL
+                  WHEN m = 1 THEN CAST([] AS DOUBLE[])
+                  WHEN m = 2 THEN [ (o_orderkey % 100) * 0.01 ]
+                  WHEN m = 3 THEN [lon, lat]
+                  ELSE [lon, lat, lon + 0.001, lat + 0.001] END AS geom
+      FROM p
+    )
+    SELECT o_orderkey, CAST(len(geom) / 2 AS INT) AS n_pts
+    FROM g
+    WHERE geom IS NOT NULL AND len(geom) % 2 = 0 AND len(geom) >= 4
+    ORDER BY o_orderkey
+    """,
+)
+def q_degenerate_filter(spark, sf_dir):
+    """P4: explicit degenerate-geometry filter (`conflator.py:149-151,
+    185-195`; `trails.py:86-89`): nulls, empty/odd coordinate arrays and
+    single-point "lines" are dropped before line conflation."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = F.pmod(k, F.lit(5))
+    lon = F.lit(-109.0) + F.pmod(k, F.lit(500)) * 0.01
+    lat = F.lit(37.0) + F.pmod(k * 7, F.lit(350)) * 0.01
+    geom = (
+        F.when(m == 0, F.lit(None).cast("array<double>"))
+        .when(m == 1, F.array().cast("array<double>"))
+        .when(m == 2, F.array(F.pmod(k, F.lit(100)) * 0.01))
+        .when(m == 3, F.array(lon, lat))
+        .otherwise(F.array(lon, lat, lon + 0.001, lat + 0.001))
+    )
+    df = o.select("o_orderkey", geom.cast("array<double>").alias("geom"))
+    kept = GEO.drop_degenerate(df, "geom")
+    return kept.select(
+        "o_orderkey", (F.size("geom") / 2).cast("int").alias("n_pts")
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (LSH-blocked) — the dedup modality over
+# the embeddings table; twins are synthesized deterministically so both
+# engines see identical near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def _embed_neardup_sql(n_planes: int = 8, n_tables: int = 4, threshold: float = 0.99) -> str:
+    same_bucket = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+    ), twin AS (
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(embedding, (x, i) ->
+               CAST(x AS DOUBLE) + (((vec_id * 31 + (i - 1) * 17) % 7) - 3) * 0.001) AS embedding
+      FROM base
+    ), corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM twin
+    ), sides AS (
+      SELECT vec_id, embedding,
+             {_NORM_SQL.format(a="embedding")} AS nrm,
+             {{b_cols}}
+      FROM corpus
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS vec_a, b.embedding AS vec_b, a.nrm AS nrm_a, b.nrm AS nrm_b
+      FROM sides a JOIN sides b ON ({same_bucket}) AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             round(CASE WHEN nrm_a * nrm_b = 0 THEN 0.0
+                        ELSE {_DOT_SQL.format(a="vec_a", b="vec_b")} / (nrm_a * nrm_b)
+                   END, 6) AS cos_sim
+      FROM pairs
+    )
+    SELECT id_a, id_b, cos_sim FROM scored
+    WHERE cos_sim >= {threshold}
+    ORDER BY id_a, id_b
+    """.replace("{b_cols}", _lsh_bucket_cols_sql("embedding", n_planes, n_tables))
+
+
+@register("q_embed_neardup", _embed_neardup_sql())
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection, LSH-blocked (never an
+    all-pairs cross join).  Near-dup twins are synthesized by deterministic
+    per-element jitter (±0.003) of the driver's embeddings table; the
+    operator must recover them through the bucket join at cos >= 0.99."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    # jitter keys off the SOURCE id: rename before aliasing vec_id+100000,
+    # or Spark's lateral-column-alias resolution binds the lambda's vec_id
+    # to the shifted output column instead of the input
+    twin = base.withColumnRenamed("vec_id", "src_id").select(
+        (F.col("src_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + (F.pmod(F.col("src_id") * 31 + i * 17, F.lit(7)) - 3) * 0.001,
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twin)
+    return D.embedding_neardup_pairs(corpus, dim=64, threshold=0.99).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize + frame sampling (stub kernels, deterministic math —
+# both fully SQL-checkable) and BPE-ish token counting
+# ---------------------------------------------------------------------------
+
+
+def _media_base_sql() -> str:
+    """Shared CTE: media refs + the md5-payload byte sum hs (same math the
+    stub decoder uses — proven hash-exact by q_media_features)."""
+    hv = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    bytes_sql = ", ".join(
+        f"({hv.format(p=2 * i + 1)} * 16 + {hv.format(p=2 * i + 2)}) AS b{i}" for i in range(16)
+    )
+    hsum = " + ".join(f"b{i}" for i in range(16))
+    return f"""
+    WITH o AS (SELECT o_orderkey AS k FROM orders),
+    m AS (
+      SELECT 'doc-' || CAST(k AS VARCHAR) AS doc_id,
+             '18/' || CAST((k * 53) % 262144 AS VARCHAR) || '/'
+                   || CAST((k * 37) % 262144 AS VARCHAR) || '.jpg' AS media_ref
+      FROM o
+    ),
+    hx AS (SELECT doc_id, media_ref, md5(media_ref) AS h FROM m),
+    bb AS (SELECT doc_id, media_ref, {bytes_sql} FROM hx),
+    ss AS (SELECT doc_id, media_ref, {hsum} AS hs FROM bb)
+    """
+
+
+def _media_df(spark, sf_dir):
+    docs = synth.documents_spans(spark, sf_dir)
+    feats = SP.spans_to_features(docs)
+    return feats.select("doc_id", F.explode("media_refs").alias("media_ref")).withColumn(
+        "payload", M.synth_payload("media_ref")
+    )
+
+
+@register(
+    "q_media_resize",
+    _media_base_sql()
+    + """
+    , dims AS (
+      SELECT doc_id, media_ref,
+             CAST(256 + hs % 256 AS BIGINT) AS w,
+             CAST(256 + (hs * 7) % 256 AS BIGINT) AS h2
+      FROM ss
+    )
+    SELECT doc_id, media_ref,
+           CAST(least(w, 64) AS INT) AS out_w,
+           CAST(greatest((h2 * least(w, 64)) // w, 1) AS INT) AS out_h,
+           md5(media_ref || '|' || CAST(least(w, 64) AS VARCHAR) || 'x'
+               || CAST(greatest((h2 * least(w, 64)) // w, 1) AS VARCHAR)) AS thumb_sig
+    FROM dims ORDER BY doc_id
+    """,
+)
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize stage (mapInPandas, stub resample kernel): output
+    dims follow aspect-preserving integer math; thumb_sig stands in for the
+    resized bytes — hash-checked end to end."""
+    return M.resize_media(_media_df(spark, sf_dir), max_dim=64).orderBy("doc_id")
+
+
+@register(
+    "q_media_frames",
+    _media_base_sql()
+    + """
+    , nf AS (SELECT doc_id, media_ref, 1 + hs % 16 AS n_frames FROM ss)
+    SELECT doc_id, media_ref,
+           CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx,
+           round(CAST(unnest(range(0, n_frames, 4)) AS DOUBLE) / 30.0, 4) AS t_offset,
+           md5(media_ref || '#frame' || CAST(unnest(range(0, n_frames, 4)) AS VARCHAR)) AS frame_sig
+    FROM nf ORDER BY doc_id, frame_idx
+    """,
+)
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling (row-generating mapInPandas — the UDTF flavor):
+    every 4th frame of a deterministic per-doc frame count, with time
+    offsets; frame_sig stands in for the frame blob."""
+    return M.sample_frames(_media_df(spark, sf_dir), every_n=4).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "q_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]', 0)) AS n_bpe,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_bpe_tokens(spark, sf_dir):
+    """Token counting two ways (whitespace + BPE-ish greedy regex tiling) —
+    the pretraining-pipeline accounting pass, all JVM-side regexp_count."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.bpe_token_estimate("text").alias("n_bpe"),
+        TX.token_count("text").alias("n_ws"),
+    ).orderBy("doc_id")

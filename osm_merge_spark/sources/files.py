@@ -31,6 +31,33 @@ from .. import geometry as G
 # ---------------------------------------------------------------------------
 
 
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def _flat_coords_udf(coords: pd.Series, kinds: pd.Series) -> pd.Series:
+    """JSON coordinate text → flat [x0,y0,x1,y1,...] (Point/LineString)."""
+    import json
+
+    def load(v):
+        # schema merge can leave coordinates as nested JSON strings;
+        # unwrap until we reach real lists
+        while isinstance(v, str):
+            v = json.loads(v)
+        if isinstance(v, list):
+            return [load(x) for x in v]
+        return v
+
+    out = []
+    for c, k in zip(coords, kinds):
+        if c is None:
+            out.append([])
+            continue
+        v = load(json.loads(c) if isinstance(c, str) else c)
+        if k == "Point":
+            out.append([float(v[0]), float(v[1])])
+        else:  # LineString
+            out.append([float(x) for pt in v for x in pt[:2]])
+    return pd.Series(out)
+
+
 def read_geojson(spark: SparkSession, path: str) -> DataFrame:
     """FeatureCollection file(s) → (feature_id, geom array<double>, kind,
     tags map).  Geometry kinds: Point/LineString (the shapes the reference
@@ -43,36 +70,57 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
     # normalize via to_json + one vectorized parse
     coords_json = F.to_json(F.col("f.geometry.coordinates"))
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def _flat(coords: pd.Series, kinds: pd.Series) -> pd.Series:
-        import json
-
-        def load(v):
-            # schema merge can leave coordinates as nested JSON strings;
-            # unwrap until we reach real lists
-            while isinstance(v, str):
-                v = json.loads(v)
-            if isinstance(v, list):
-                return [load(x) for x in v]
-            return v
-
-        out = []
-        for c, k in zip(coords, kinds):
-            if c is None:
-                out.append([])
-                continue
-            v = load(json.loads(c))
-            if k == "Point":
-                out.append([float(v[0]), float(v[1])])
-            else:  # LineString
-                out.append([float(x) for pt in v for x in pt[:2]])
-        return pd.Series(out)
-
     return feats.select(
         F.monotonically_increasing_id().alias("feature_id"),
         geom_type.alias("kind"),
-        _flat(coords_json, geom_type).alias("geom"),
+        _flat_coords_udf(coords_json, geom_type).alias("geom"),
         F.from_json(F.to_json(props), "map<string,string>").alias("tags"),
+    )
+
+
+def read_geojson_lines(spark: SparkSession, path: str, n_chunks: int | None = None) -> DataFrame:
+    """S2 chunked GeoJSON scan (`osm_merge/readjson.py:52-167`): one Feature
+    per line (ndjson).  The reference streams the file in RAM-bounded chunks
+    because it parses on one machine; Spark's text source is natively
+    splittable, so bounded memory is free — what survives of the chunk API
+    is (a) a deterministic ``feature_id`` (hash of the raw line — stable
+    across reruns and cluster sizes, unlike monotonically_increasing_id) and
+    (b) an optional ``chunk`` column for resumable processing
+    (:func:`process_geojson_chunked`)."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    f = F.from_json(
+        "value",
+        "struct<type string, geometry struct<type string, coordinates string>, properties map<string,string>>",
+        {"mode": "PERMISSIVE"},
+    )
+    out = lines.select(
+        F.xxhash64("value").alias("feature_id"),
+        f["geometry"]["type"].alias("kind"),
+        _flat_coords_udf(f["geometry"]["coordinates"], f["geometry"]["type"]).alias("geom"),
+        f["properties"].alias("tags"),
+    )
+    if n_chunks:
+        out = out.withColumn("chunk", F.pmod(F.abs(F.col("feature_id")), F.lit(n_chunks)))
+    return out
+
+
+def process_geojson_chunked(
+    spark: SparkSession,
+    path: str,
+    job,
+    out_path: str,
+    run_id: str,
+    n_chunks: int = 16,
+) -> dict:
+    """The full S2 semantics — RAM-bounded, *resumable* incremental
+    processing of a huge GeoJSON (`readjson.py:196-241` chunk loop + tmp
+    files): each chunk is checkpointed to parquet with lineage rows, and a
+    re-run with the same ``run_id`` skips completed chunks (K7)."""
+    from ..plans import lineage
+
+    feats = read_geojson_lines(spark, path)
+    return lineage.run_bucketed(
+        spark, feats, job, out_path, run_id, id_col="feature_id", n_buckets=n_chunks
     )
 
 

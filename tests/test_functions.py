@@ -115,3 +115,23 @@ def test_char_ngrams(spark):
     out = [r["g"] for r in df.select(TX.char_ngrams("t", 3).alias("g")).collect()]
     assert out[0] == ["abc", "bcd"]
     assert out[1] == ["ab"]  # shorter than n → the whole string once
+
+
+def test_drop_degenerate_keep_points(spark):
+    """P4: keep_points retains 1-vertex geometries (POI path); line mode
+    drops them; NaN coordinates always drop."""
+    from osm_merge_spark.functions import geo as GEO
+
+    rows = [
+        (1, [-105.0, 40.0, -104.9, 40.1]),  # line: kept in both modes
+        (2, [-105.0, 40.0]),                # point: kept only with keep_points
+        (3, None),                          # null
+        (4, []),                            # empty
+        (5, [-105.0]),                      # odd length
+        (6, [float("nan"), 40.0]),          # NaN coordinate
+    ]
+    df = spark.createDataFrame(rows, "id long, geom array<double>")
+    lines = {r["id"] for r in GEO.drop_degenerate(df).collect()}
+    pts = {r["id"] for r in GEO.drop_degenerate(df, keep_points=True).collect()}
+    assert lines == {1}
+    assert pts == {1, 2}

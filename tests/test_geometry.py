@@ -158,3 +158,81 @@ def test_ragged_kernel_matches_padded():
     ds_p, an_p = G.endpoint_slope_angle(G.pad_ragged(off_a, flat_a), G.pad_ragged(off_b, flat_b))
     ds_r, an_r = G.endpoint_slope_angle_ragged(off_a, flat_a, off_b, flat_b)
     assert np.allclose(ds_p, ds_r) and np.allclose(an_p, an_r)
+
+
+def test_convex_hull_2d():
+    import numpy as np
+    from osm_merge_spark import geometry as G
+
+    # square + interior/duplicate points → the 4 corners, CCW
+    pts = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [5, 5], [2, 3], [0, 0]], dtype=float)
+    hull = G.convex_hull_2d(pts)
+    assert sorted(map(tuple, hull)) == [(0, 0), (0, 10), (10, 0), (10, 10)]
+    # CCW orientation: positive shoelace area
+    x, y = hull[:, 0], hull[:, 1]
+    area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    assert area2 > 0
+    # collinear → the two extremes
+    col = G.convex_hull_2d(np.array([[0, 0], [1, 1], [2, 2], [3, 3]], dtype=float))
+    assert len(col) == 2
+    # single point
+    assert len(G.convex_hull_2d(np.array([[4.0, 5.0]]))) == 1
+
+
+def test_polyline_intersects_hull_exact_vs_bbox_proxy():
+    """The J3 containment test is intersects(hull(old), new) — an L-shaped
+    old way's hull is a triangle; its bbox is the full square.  Segments in
+    the concave quadrant (inside bbox, outside hull) must NOT contact."""
+    import numpy as np
+    from osm_merge_spark import geometry as G
+
+    old = np.array([[0, 0], [10, 0], [10, 10]], dtype=float)  # hull = triangle x>=y
+    inside = np.array([[8, 2], [9, 3]], dtype=float)
+    concave = np.array([[1, 8], [3, 8]], dtype=float)  # inside bbox, outside hull
+    crossing = np.array([[-1, 5], [11, 5]], dtype=float)  # crosses the hull
+    outside = np.array([[20, 20], [21, 21]], dtype=float)
+    assert G.polyline_intersects_hull(inside, old)
+    assert not G.polyline_intersects_hull(concave, old)
+    assert G.polyline_intersects_hull(crossing, old)
+    assert not G.polyline_intersects_hull(outside, old)
+    # touching the hull boundary counts (dwithin(..., 0) semantics)
+    touch = np.array([[10, -5], [10, 5]], dtype=float)
+    assert G.polyline_intersects_hull(touch, old)
+    # degenerate hulls: collinear old way, point old way
+    seg_old = np.array([[0, 0], [10, 10]], dtype=float)
+    assert G.polyline_intersects_hull(np.array([[0, 10], [10, 0]], dtype=float), seg_old)
+    assert not G.polyline_intersects_hull(np.array([[0, 10], [4, 7]], dtype=float), seg_old)
+    pt_old = np.array([[5.0, 5.0]])
+    assert G.polyline_intersects_hull(np.array([[0, 0], [10, 10]], dtype=float), pt_old)
+    assert not G.polyline_intersects_hull(np.array([[0, 1], [10, 11]], dtype=float), pt_old)
+
+
+def test_hull_contact_mercator_frame():
+    """hull_contact evaluates in the mercator frame (reference reprojects to
+    3857 before the hull test, conflator.py:586-591) over the masked subset."""
+    import numpy as np
+    from osm_merge_spark import geometry as G
+
+    # two pairs: (0) new inside old's hull, (1) new in the concave quadrant
+    old = np.array([[-106.0, 39.0], [-105.9, 39.0], [-105.9, 39.1]])
+    new0 = np.array([[-105.92, 39.01], [-105.91, 39.02]])
+    new1 = np.array([[-105.99, 39.08], [-105.97, 39.08]])
+    flat_old = np.vstack([old, old])
+    off_old = np.array([0, 3, 6])
+    flat_new = np.vstack([new0, new1])
+    off_new = np.array([0, 2, 4])
+    got = G.hull_contact(off_new, flat_new, off_old, flat_old, np.array([0, 1]))
+    assert got.tolist() == [True, False]
+
+
+def test_polyline_length_merc_m():
+    """3857 lengths are inflated by ~1/cos(lat) vs true meters."""
+    import numpy as np
+    from osm_merge_spark import geometry as G
+
+    # 0.01 deg of latitude at 60N: true ~1112 m, 3857 ~ x2 at lat 60
+    flat = np.array([[10.0, 60.0], [10.0, 60.01]])
+    off = np.array([0, 2])
+    true_m = G.polyline_length_m(off, flat)[0]
+    merc_m = G.polyline_length_merc_m(off, flat)[0]
+    assert merc_m / true_m == pytest.approx(1.0 / np.cos(np.radians(60.005)), rel=1e-3)

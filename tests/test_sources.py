@@ -114,3 +114,41 @@ def test_osm_xml_sink(spark, tmpdir):
     assert '<nd ref="101"/>' in xml
     assert '<tag k="highway" v="track"/>' in xml
     assert xml.startswith("<way") and xml.endswith("</way>")
+
+
+def test_geojson_chunked_reader(spark, tmpdir):
+    """S2: ndjson chunked scan — deterministic ids, chunk column, and
+    resumable chunked processing via the lineage checkpoint (K7)."""
+    feats = [
+        {
+            "type": "Feature",
+            "geometry": {"type": "LineString",
+                         "coordinates": [[-105.0 - i * 0.01, 40.0], [-104.99 - i * 0.01, 40.01]]},
+            "properties": {"name": f"Way {i}", "highway": "track"},
+        }
+        for i in range(20)
+    ]
+    path = f"{tmpdir}/feats.ndjson"
+    with open(path, "w") as f:
+        for ft in feats:
+            f.write(json.dumps(ft) + "\n")
+
+    df = FL.read_geojson_lines(spark, path, n_chunks=4)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r["kind"] == "LineString" and len(r["geom"]) == 4 for r in rows)
+    assert all(0 <= r["chunk"] < 4 for r in rows)
+    # ids are stable across re-reads (hash of the line, not read order)
+    again = {r["feature_id"] for r in FL.read_geojson_lines(spark, path).collect()}
+    assert again == {r["feature_id"] for r in rows}
+    names = {r["tags"]["name"] for r in rows}
+    assert names == {f"Way {i}" for i in range(20)}
+
+    # chunked processing with resume: first run completes all chunks,
+    # second run with the same run_id skips every one
+    out = f"{tmpdir}/chunked_out"
+    job = lambda part: part.select("feature_id", "kind")  # noqa: E731
+    r1 = FL.process_geojson_chunked(spark, path, job, out, run_id="r1", n_chunks=4)
+    assert sorted(r1["completed"]) == [0, 1, 2, 3] and r1["output_rows"] == 20
+    r2 = FL.process_geojson_chunked(spark, path, job, out, run_id="r1", n_chunks=4)
+    assert sorted(r2["skipped"]) == [0, 1, 2, 3] and not r2["completed"]
