@@ -139,3 +139,106 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id, target_id, "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer alternative to LSH
+# ---------------------------------------------------------------------------
+
+
+def _centroid(dim: int, t: int) -> list[float]:
+    """Deterministic coarse-quantizer centroid t — reproducible in ANSI SQL:
+    c_j = (((t*53 + j*29) % 17) - 8) / 8.0  (values in [-1, 1])."""
+    return [(((t * 53 + j * 29) % 17) - 8) / 8.0 for j in range(dim)]
+
+
+def centroid_dots(vec: Column, dim: int, n_cells: int) -> list[Column]:
+    """Dot product of ``vec`` against every centroid (JVM fold, same
+    evaluation order as the SQL twin)."""
+    return [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in _centroid(dim, t)]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for t in range(n_cells)
+    ]
+
+
+def with_ivf_cells(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 8,
+    nprobe: int = 1,
+    out_col: str = "cells",
+) -> DataFrame:
+    """Add an array<int> column of the top-``nprobe`` IVF cell ids.
+    Tie-breaking is pinned (lowest cell id wins at equal dot) via explicit
+    greatest/CASE chains — bit-reproducible in SQL, no sort-order ambiguity,
+    no shuffle.  Each step is its own ``withColumn`` so the expression tree
+    stays LINEAR in nprobe — nesting each cell's argmax inside the next
+    multiplies the dot-fold subtrees 8x per probe level and OOMs the driver
+    during Column normalization at nprobe >= 4."""
+    d_names = [f"__ivf_d{t}" for t in range(n_cells)]
+    dots = centroid_dots(F.col(vec_col), dim, n_cells)
+    for nm, d in zip(d_names, dots):
+        df = df.withColumn(nm, d)
+    c_names = []
+    for p in range(nprobe):
+        masked = []
+        for t in range(n_cells):
+            excl = F.lit(False)
+            for q in c_names:
+                excl = excl | (F.col(q) == t)
+            masked.append(F.when(excl, F.lit(float("-inf"))).otherwise(F.col(d_names[t])))
+        m = F.greatest(*masked)
+        cell = F.lit(n_cells - 1)
+        for t in range(n_cells - 1, -1, -1):
+            cell = F.when(masked[t] == m, F.lit(t)).otherwise(cell)
+        cn = f"__ivf_c{p}"
+        df = df.withColumn(cn, cell)
+        c_names.append(cn)
+    df = df.withColumn(out_col, F.array(*[F.col(c) for c in c_names]))
+    return df.drop(*d_names, *c_names)
+
+
+def ivf_topk(
+    probes: DataFrame,
+    targets: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    probe_id: str = "probe_id",
+    target_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: targets are indexed into their single nearest
+    coarse cell; probes scan their ``nprobe`` nearest cells.  Candidates are
+    a cell equi-join (shuffle on a small int key — never all-pairs); exact
+    cosine refines within cells.  Norms precomputed per row."""
+    t = with_ivf_cells(
+        targets.select(F.col(target_id), F.col(vec_col).alias("t_vec"))
+        .withColumn("t_norm", norm(F.col("t_vec"))),
+        "t_vec", dim, n_cells, nprobe=1,
+    ).withColumn("cell", F.element_at("cells", 1)).drop("cells")
+    p = with_ivf_cells(
+        probes.select(F.col(probe_id), F.col(vec_col).alias("p_vec"))
+        .withColumn("p_norm", norm(F.col("p_vec"))),
+        "p_vec", dim, n_cells, nprobe=nprobe,
+    ).withColumn("cell", F.explode("cells")).drop("cells")
+    j = p.join(t, "cell").filter(F.col(probe_id) != F.col(target_id)).dropDuplicates([probe_id, target_id])
+    denom = F.col("p_norm") * F.col("t_norm")
+    cs = F.when(denom == 0, F.lit(0.0)).otherwise(dot(F.col("p_vec"), F.col("t_vec")) / denom)
+    j = j.withColumn("cos_sim", F.round(cs, 6))
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos_sim"), F.asc(target_id))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, target_id, "cos_sim", "rank")
+    )

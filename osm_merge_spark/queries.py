@@ -2315,3 +2315,72 @@ def q_bpe_tokens(spark, sf_dir):
         TX.bpe_token_estimate("text").alias("n_bpe"),
         TX.token_count("text").alias("n_ws"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — coarse-quantizer variant (deterministic centroids → SQL twin)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sql(dim: int = 64, n_cells: int = 8, k: int = 3) -> str:
+    """DuckDB twin of the IVF path: centroid dots with Spark's fold order,
+    pinned lowest-id tie-breaks, nprobe=2 via unnest of [cell1, cell2]."""
+    NEG = "CAST('-infinity' AS DOUBLE)"
+
+    def d_expr(t: int) -> str:
+        coef = f"CAST((((({t} * 53 + (i - 1) * 29) % 17) - 8) / 8.0) AS DOUBLE)"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * {coef})), (a, b) -> a + b) AS d{t}"
+        )
+
+    d_cols = ", ".join(d_expr(t) for t in range(n_cells))
+    all_d = ", ".join(f"d{t}" for t in range(n_cells))
+    cell1 = "CASE " + " ".join(f"WHEN d{t} = m1 THEN {t}" for t in range(n_cells)) + " END"
+    masked = lambda t: f"(CASE WHEN {t} = cell1 THEN {NEG} ELSE d{t} END)"  # noqa: E731
+    m2 = "greatest(" + ", ".join(masked(t) for t in range(n_cells)) + ")"
+    cell2 = "CASE " + " ".join(f"WHEN {masked(t)} = m2 THEN {t}" for t in range(n_cells)) + " END"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM_SQL.format(a="embedding")} AS nrm, {d_cols}
+      FROM embeddings
+    ), c1 AS (
+      SELECT *, greatest({all_d}) AS m1 FROM base
+    ), cc AS (
+      SELECT *, {cell1} AS cell1 FROM c1
+    ), tgt AS (
+      SELECT vec_id, embedding AS t_vec, nrm AS t_nrm, cell1 AS cell FROM cc
+    ), prb0 AS (
+      SELECT vec_id AS probe_id, embedding AS p_vec, nrm AS p_nrm, cell1, {m2} AS m2, {all_d}
+      FROM cc WHERE vec_id < 50
+    ), prb AS (
+      SELECT probe_id, p_vec, p_nrm,
+             unnest([cell1, {cell2}]) AS cell
+      FROM prb0
+    ), pairs AS (
+      SELECT DISTINCT probe_id, t.vec_id, p_vec, t_vec, p_nrm, t_nrm
+      FROM prb JOIN tgt t USING (cell)
+      WHERE probe_id <> t.vec_id
+    ), scored AS (
+      SELECT probe_id, vec_id,
+             round(CASE WHEN p_nrm * t_nrm = 0 THEN 0.0
+                        ELSE {_DOT_SQL.format(a="p_vec", b="t_vec")} / (p_nrm * t_nrm)
+                   END, 6) AS cos_sim
+      FROM pairs
+    )
+    SELECT probe_id, vec_id, cos_sim, rank FROM (
+      SELECT probe_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY probe_id, rank
+    """
+
+
+@register("q_ivf_topk", _ivf_sql())
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: targets indexed to their nearest deterministic coarse
+    centroid, probes scan nprobe=2 cells, exact cosine within cells —
+    hash-checked against the DuckDB twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50).select(F.col("vec_id").alias("probe_id"), "embedding")
+    return S.ivf_topk(probes, emb, dim=64, k=3, n_cells=8, nprobe=2).orderBy("probe_id", "rank")

@@ -105,3 +105,57 @@ def test_streaming_windowed_counts_matches_batch(spark, tmpdir):
     # checkpointed: a second availableNow run adds nothing
     ST.run_available_now(spark, tmpdir + "/src", tmpdir + "/out", tmpdir + "/ckpt")
     assert spark.read.parquet(tmpdir + "/out").count() == len(g)
+
+
+def test_stateful_sessionization_with_restart(spark, tmpdir):
+    """applyInPandasWithState sessionizer: gap-split within a run, event-time
+    timeout via watermark, and state surviving a query restart (same
+    checkpoint, two availableNow invocations)."""
+    import pandas as pd
+
+    from osm_merge_spark.streaming import sessions as SS
+
+    src = f"{tmpdir}/events_src"
+    out = f"{tmpdir}/sessions_out"
+    ckpt = f"{tmpdir}/sessions_ckpt"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(f"{src}/../{name}")
+        import glob
+        import os
+        import shutil as sh
+
+        os.makedirs(src, exist_ok=True)
+        for f in glob.glob(f"{src}/../{name}/part-*.parquet"):
+            sh.copy(f, f"{src}/{name}.parquet")
+
+    # run 1: user 1 has two events 5 min apart, user 2 one event — all open
+    write_batch("b1", [
+        (1, "2026-01-01 10:00:00", 1, "click", 1.0, ""),
+        (2, "2026-01-01 10:05:00", 1, "click", 2.0, ""),
+        (3, "2026-01-01 10:00:00", 2, "view", 5.0, ""),
+    ])
+    SS.run_sessions_available_now(spark, src, out, ckpt, gap="10 minutes")
+    import os
+
+    assert not os.path.exists(out) or spark.read.parquet(out).count() == 0
+
+    # run 2 (restart, same checkpoint): two later files — the first advances
+    # the watermark and user 1's 13:00 event gap-splits their old session;
+    # the second batch's watermark (13:00) times out user 2's session
+    write_batch("b2", [(4, "2026-01-01 13:00:00", 1, "click", 3.0, "")])
+    write_batch("b3", [(5, "2026-01-01 13:05:00", 1, "click", 4.0, "")])
+    SS.run_sessions_available_now(spark, src, out, ckpt, gap="10 minutes")
+
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, "2026-01-01 10:00:00", "2026-01-01 10:05:00", 2, 3.0) in got
+    assert (2, "2026-01-01 10:00:00", "2026-01-01 10:00:00", 1, 5.0) in got
+    # user 1's second session (13:00-13:05) is still open — not emitted yet
+    assert len(got) == 2
