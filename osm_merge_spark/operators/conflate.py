@@ -270,8 +270,15 @@ def candidate_pairs(
     if salt_hot_threshold:
         counts = s.groupBy("cell").agg(F.count("*").alias("cnt"))
         salts = salt_factors(counts, hot_threshold=salt_hot_threshold)
-        s2, p2 = apply_salt(s, p, salts, big_key="way_id")
-        joined = p2.join(s2, ["cell", "salt"])
+        # short-circuit: when the frequency pre-pass finds no hot cells the
+        # salt machinery (broadcast left-join + per-row sequence explode +
+        # the wider (cell, salt) shuffle key) is pure overhead — the salts
+        # table is tiny by construction, so this check is one cheap job
+        if salts.limit(1).count() == 0:
+            joined = p.join(s, "cell")
+        else:
+            s2, p2 = apply_salt(s, p, salts, big_key="way_id")
+            joined = p2.join(s2, ["cell", "salt"])
     else:
         joined = p.join(s, "cell")
 
