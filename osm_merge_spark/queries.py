@@ -2384,3 +2384,53 @@ def q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 50).select(F.col("vec_id").alias("probe_id"), "embedding")
     return S.ivf_topk(probes, emb, dim=64, k=3, n_cells=8, nprobe=2).orderBy("probe_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# K4 — PMTiles tile addressing: Hilbert-curve tile ids (the archive's sort /
+# directory key).  The sink itself is pytest round-tripped
+# (tests/test_tilesinks.py); this pins the distributed id math hash-exact.
+# ---------------------------------------------------------------------------
+
+
+def _pmtiles_ids_sql() -> str:
+    from .sources.tilesinks import hilbert_tile_id_sql
+
+    z = 8
+    n = 1 << z
+    txy = f"""
+    SELECT c_custkey,
+           CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT) AS tx,
+           CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}) AS BIGINT) AS ty
+    FROM ({CUST_PT_SQL.strip()})
+    """
+    hil = hilbert_tile_id_sql("tx", "ty", z, f"({txy})", "c_custkey")
+    return f"""
+    SELECT hd AS tile_id, count(*) AS cnt, min(c_custkey) AS first_key
+    FROM ({hil}) GROUP BY hd ORDER BY tile_id
+    """
+
+
+@register("q_pmtiles_ids", _pmtiles_ids_sql())
+def q_pmtiles_ids(spark, sf_dir):
+    """PMTiles v3 addressing (K4): customers → z8 mercator tile → Hilbert
+    tile id via the pure-Column unrolled recurrence
+    (`tilesinks.hilbert_tile_id_col`), aggregated per tile.  The DuckDB twin
+    is *generated from the same unrolled steps* so the engines cannot
+    drift."""
+    from .sources.tilesinks import hilbert_tile_id_col
+
+    z = 8
+    n = 1 << z
+    pts = customer_points(spark, sf_dir)
+    tx = F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("long")
+    ty = F.floor(
+        (1.0 - F.log(F.tan(F.radians("lat")) + 1.0 / F.cos(F.radians("lat"))) / float(np.pi)) / 2.0 * n
+    ).cast("long")
+    return (
+        pts.select("c_custkey", tx.alias("tx"), ty.alias("ty"))
+        .select("c_custkey", hilbert_tile_id_col(F.col("tx"), F.col("ty"), z).alias("tile_id"))
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("cnt"), F.min("c_custkey").alias("first_key"))
+        .orderBy("tile_id")
+    )

@@ -1,0 +1,65 @@
+"""S7 PostGIS/Underpass source (`dbextract.py:44-122`): server-side query
+construction, partitioned-reader options, and the hstore/refs/WKT
+post-transform (the only parts exercisable without a postgres server)."""
+
+from pyspark.sql import functions as F
+
+from osm_merge_spark.sources import postgis as PG
+
+AOI = "POLYGON((0 0,1 0,1 1,0 1,0 0))"
+
+
+def test_query_pushdown_shape():
+    q = PG.postgis_query(aoi_wkt=AOI, highway_only=True)
+    assert q.startswith("(SELECT osm_id, version, timestamp")
+    assert "tags->>'highway' IS NOT NULL" in q
+    assert f"ST_Contains(ST_GeomFromEWKT('SRID=4326;{AOI}'), geom)" in q
+    assert "ST_AsText(geom) AS geom_wkt" in q
+    # no AOI → no ST_Contains; no filters at all → TRUE
+    assert "ST_Contains" not in PG.postgis_query(highway_only=True)
+    assert "WHERE TRUE" in PG.postgis_query(aoi_wkt=None, highway_only=False)
+
+
+def test_reader_is_partitioned(spark):
+    r = PG.postgis_reader(spark, "jdbc:postgresql://db/underpass", aoi_wkt=AOI, num_partitions=32)
+    # constructing the reader must not connect; options live on the reader
+    opts = r._options if hasattr(r, "_options") else None
+    if opts is not None:
+        assert opts["numPartitions"] == "32" and opts["partitionColumn"] == "osm_id"
+        assert "ways_line" in opts["dbtable"]
+
+
+def test_post_transform_hstore_refs_wkt(spark):
+    rows = [
+        (
+            101,
+            3,
+            "2024-01-02 03:04:05",
+            "{11,12,13}",
+            '"highway"=>"path", "name"=>"Say \\"hi\\""',
+            "LINESTRING(0 0,1 1)",
+        ),
+        (102, 1, None, "{}", "", "LINESTRING(2 2,3 3)"),
+    ]
+    df = spark.createDataFrame(
+        rows, "osm_id long, version int, timestamp string, refs string, tags string, geom_wkt string"
+    )
+    out = PG.postgis_to_features(df).orderBy("way_id").collect()
+    a, b = out
+    assert a.way_id == 101 and a.version == 3
+    assert a.refs == [11, 12, 13]
+    assert a.tags["highway"] == "path"
+    assert a.tags["name"] == 'Say \\"hi\\"'  # raw hstore escapes preserved
+    assert a.geom == "LINESTRING(0 0,1 1)"
+    assert b.refs == [] and b.tags == {}
+
+
+def test_feature_shape_joins_engine(spark):
+    """The transformed frame drops straight into the conflation input shape
+    (way_id, geom, tags, version)."""
+    df = spark.createDataFrame(
+        [(7, 1, None, "{1,2}", '"highway"=>"track"', "LINESTRING(0 0,0.001 0.001)")],
+        "osm_id long, version int, timestamp string, refs string, tags string, geom_wkt string",
+    )
+    feats = PG.postgis_to_features(df).select("way_id", "geom", "tags", "version")
+    assert feats.filter(F.element_at("tags", "highway") == "track").count() == 1
