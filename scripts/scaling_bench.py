@@ -14,14 +14,17 @@ Spark's range shuffle does on a real K-executor cluster; the (small)
 cross-range secondary replication is the proxy's overhead, so measured
 efficiency *understates* the cluster's.
 
-Measurement protocol (this box drifts up to 2× under sustained load —
+Measurement protocol (this box drifts in minutes-long phases, up to 2× —
 BENCH/BASELINE.md controls):
 - isolated mode: each executor JVM runs ALONE, cluster wall = max executor;
-- best-of-R repeats per executor (R = SPARK_GRAFT_SCALE_REPEATS, default 3);
-- straggler guard: if max/min executor wall still exceeds
-  SPARK_GRAFT_SCALE_BALANCE (default 1.15), the slowest ranks are re-run up
-  to twice more — a drift outlier that survives best-of-R is re-measured,
-  a genuine imbalance keeps its number.
+- drift-interleaved sweeps: one sweep = the N rank plus every 4N rank
+  back-to-back, repeated R times (R = SPARK_GRAFT_SCALE_REPEATS, default 3)
+  so every task samples every machine phase — consecutive per-rank repeats
+  would all land in one phase, and N vs 4N measured in disjoint stretches
+  would corrupt the ratio itself;
+- per-task best across sweeps (compare all tasks at the common fast state);
+- balance gate: while max/min 4N wall > SPARK_GRAFT_SCALE_BALANCE (default
+  1.15), extra sweeps run, up to SPARK_GRAFT_SCALE_MAX_SWEEPS (default R+3).
 
 Usage:
   python scripts/scaling_bench.py                 # orchestrate N=1 vs 4N=4
@@ -123,35 +126,55 @@ def run_fleet(k: int) -> dict:
             "rate": round(rows / wall, 1), "per_executor_secs": [r["secs"] for r in results]}
 
 
-def run_fleet_isolated(k: int) -> dict:
-    """Sequential-isolated simulation: each executor runs ALONE on the box —
-    modeling a real cluster where every node owns its memory bus.  Cluster
-    wall = max over executors (they share nothing: range ownership, no
-    cross-executor shuffle).  Best-of-R per rank + straggler re-runs."""
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
-    balance = float(os.environ.get("SPARK_GRAFT_SCALE_BALANCE", "1.15"))
-    results = []
-    for r in range(k):
-        best = None
-        for _ in range(repeats):  # best-of-R: the shared box drifts up to 2x
-            run = _run_once(r, k)
-            if best is None or run["secs"] < best["secs"]:
-                best = run
-        results.append(best)
-    # straggler guard: re-measure outliers that survive best-of-R
-    if k > 1:
-        for _ in range(2):
-            secs = [x["secs"] for x in results]
-            if max(secs) / max(min(secs), 1e-9) <= balance:
-                break
-            worst = secs.index(max(secs))
-            rerun = _run_once(worst, k)
-            if rerun["secs"] < results[worst]["secs"]:
-                results[worst] = rerun
-    rows = sum(x["rows"] for x in results)
-    wall = max(x["secs"] for x in results)
+def _pack(k: int, res: list[dict]) -> dict:
+    rows = sum(x["rows"] for x in res)
+    wall = max(x["secs"] for x in res)
     return {"executors": k, "mode": "isolated", "rows": rows, "wall_secs": wall,
-            "rate": round(rows / wall, 1), "per_executor_secs": [x["secs"] for x in results]}
+            "rate": round(rows / wall, 1), "per_executor_secs": [x["secs"] for x in res]}
+
+
+def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
+    """Sequential-isolated simulation, drift-interleaved: each executor runs
+    ALONE on the box (modeling a real cluster where every node owns its
+    memory bus; cluster wall = max executor — range ownership means no
+    cross-executor shuffle).
+
+    This box drifts in minutes-long phases (up to 2×), so consecutive
+    repeats of the SAME rank all land in one phase and best-of-R cannot
+    rescue them — and worse, the N fleet and the 4N fleet measured in
+    disjoint stretches sample different machine states, which corrupts the
+    N→4N ratio itself.  The protocol therefore interleaves: one *sweep* runs
+    the N rank and every 4N rank back-to-back, so every task samples every
+    machine phase; per-task best across sweeps then compares all tasks at
+    the box's common fast state.  While the 4N walls stay unbalanced
+    (max/min > SPARK_GRAFT_SCALE_BALANCE) extra sweeps run, up to
+    SPARK_GRAFT_SCALE_MAX_SWEEPS."""
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    max_sweeps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_SWEEPS", str(repeats + 3)))
+    balance = float(os.environ.get("SPARK_GRAFT_SCALE_BALANCE", "1.15"))
+    k4 = 4 * n
+    tasks = [(n, r) for r in range(n)] + [(k4, r) for r in range(k4)]
+    best: dict[tuple[int, int], dict] = {}
+    for sweep in range(max_sweeps):
+        improved = 0.0
+        for k, r in tasks:
+            run = _run_once(r, k)
+            key = (k, r)
+            if key not in best or run["secs"] < best[key]["secs"]:
+                if key in best:
+                    improved = max(improved, 1.0 - run["secs"] / best[key]["secs"])
+                best[key] = run
+        if sweep + 1 >= repeats:
+            secs4 = [best[(k4, r)]["secs"] for r in range(k4)]
+            balanced = max(secs4) / max(min(secs4), 1e-9) <= balance
+            # converged = the last sweep moved no task's best by >3% — both
+            # fleets have seen the box's fast state, the ratio is stable
+            if balanced and improved <= 0.03:
+                break
+    return (
+        _pack(n, [best[(n, r)] for r in range(n)]),
+        _pack(k4, [best[(k4, r)] for r in range(k4)]),
+    )
 
 
 def main() -> None:
@@ -161,9 +184,10 @@ def main() -> None:
     prepare()
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "isolated")
-    runner = run_fleet_isolated if mode == "isolated" else run_fleet
-    a = runner(n)
-    b = runner(4 * n)
+    if mode == "isolated":
+        a, b = run_scaling_interleaved(n)
+    else:
+        a, b = run_fleet(n), run_fleet(4 * n)
     eff = (b["rate"] / a["rate"]) / 4
     print(json.dumps({
         "n_executors": n, "mode": mode,
@@ -173,7 +197,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "protocol": f"multi-executor simulation ({mode}): K independent local[2] JVMs; "
                     "longitude-range ownership with exact threshold-padded secondary slices "
-                    "(plans.distribute); best-of-R repeats + straggler re-run guard",
+                    "(plans.distribute); drift-interleaved sweeps (N + all 4N ranks per sweep), "
+                    "per-task best-of, balance-gated extra sweeps",
     }))
 
 
