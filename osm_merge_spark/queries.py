@@ -2434,3 +2434,57 @@ def q_pmtiles_ids(spark, sf_dir):
         .agg(F.count("*").alias("cnt"), F.min("c_custkey").alias("first_key"))
         .orderBy("tile_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — Structured Streaming: the real readStream → watermark → windowed-agg
+# pipeline drained with availableNow (batch-equivalent in complete mode), so
+# the streaming surface itself is driver-oracle-checked, not just pytest'd.
+# ---------------------------------------------------------------------------
+
+_STREAM_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+       event_type,
+       count(*) AS n_events,
+       round(round(sum(value), 6), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY ws, event_type
+"""
+
+
+@register("q_stream_windows", _STREAM_SQL)
+def q_stream_windows(spark, sf_dir):
+    """Streaming ingest (§2.9) through the actual engine path: parquet
+    ``readStream`` → 2h watermark → 1h windowed counts/sums
+    (`streaming/events.py`), drained via ``availableNow`` with a complete-
+    mode ``foreachBatch`` sink, then the materialized result is returned for
+    the oracle compare.  DuckDB twin: the equivalent hour-truncated batch
+    aggregation (complete-mode drain of a static directory IS the batch
+    result)."""
+    import os
+    import tempfile
+
+    from .streaming import events as SE
+
+    base = tempfile.mkdtemp(prefix="oms_stream_oracle_")
+    # the file source wants a directory; stage the single testdata file as a
+    # symlink (zero-copy ingest boundary)
+    os.makedirs(f"{base}/in")
+    os.symlink(f"{sf_dir}/events.parquet", f"{base}/in/events.parquet")
+    agg = SE.windowed_counts(SE.read_events_stream(spark, f"{base}/in"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(lambda df, _id: df.write.mode("overwrite").parquet(f"{base}/out"))
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(f"{base}/out")
+    return res.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    ).orderBy("ws", "event_type")
