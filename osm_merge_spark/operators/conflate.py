@@ -351,14 +351,27 @@ def score_pairs(pairs: DataFrame, threshold_m: float = DEFAULT_THRESHOLD_M) -> D
 
 
 def best_matches(scored: DataFrame, cap: int = CANDIDATE_CAP) -> DataFrame:
-    """Deterministic candidate cap + best-match pick: (hits DESC, dist ASC,
-    way_id ASC), row_number ≤ cap, keep rank 1 (A2/A3 with the order pinned)."""
-    w = Window.partitionBy("ext_id").orderBy(F.desc("hits"), F.asc("dist"), F.asc("way_id"))
+    """Deterministic best-match pick over the pinned candidate order
+    (hits DESC, dist ASC, way_id ASC) — A2/A3.
+
+    Implemented as a ``min_by`` hash aggregation rather than a row_number
+    window: partial (map-side) aggregation collapses every partition to at
+    most one candidate per ext_id *before* the exchange, so the shuffle
+    moves ~|primaries| slim rows instead of all |pairs| rows, and no
+    per-partition sort runs.  The candidate cap (A3, ``cap``) cannot change
+    the result here: rank 1 lies within any cap ≥ 1, so the capped pick
+    equals the global best; the parameter is kept for API parity with the
+    reference's cap-7 loop (`conflator.py:349-354`).  Ties are impossible —
+    way_id is unique within an ext_id's candidate set — so the pick is
+    deterministic."""
+    order = F.struct(
+        (-F.col("hits")).alias("h"), F.col("dist").alias("d"), F.col("way_id").alias("w")
+    )
+    payload = F.struct(*[c for c in scored.columns if c != "ext_id"])
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= cap)
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        scored.groupBy("ext_id")
+        .agg(F.min_by(payload, order).alias("__best"))
+        .select("ext_id", "__best.*")
     )
 
 
