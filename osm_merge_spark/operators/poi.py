@@ -89,6 +89,26 @@ def knn_join(
         "dist", haversine_col(F.col("p_lon"), F.col("p_lat"), F.col("t_lon"), F.col("t_lat"))
     )
     joined = joined.filter(F.col("dist") <= tolerance_m)
+    if k == 1:
+        # nearest-only (the reference's case): one min_by hash aggregation
+        # replaces the pair-dedupe shuffle AND the rank window — map-side
+        # partial agg collapses to one row per probe before the exchange.
+        # Ring-duplicate rows of the same pair carry identical coordinates,
+        # hence identical dist, so the (dist, target_id) pick stays
+        # deterministic without deduping first.
+        payload = F.struct(
+            F.col(target_id).alias(target_id),
+            F.col("p_lon").alias("p_lon"),
+            F.col("p_lat").alias("p_lat"),
+            F.col("dist").alias("dist"),
+        )
+        order = F.struct(F.col("dist").alias("d"), F.col(target_id).alias("t"))
+        return (
+            joined.groupBy(probe_id)
+            .agg(F.min_by(payload, order).alias("__b"))
+            .select(probe_id, "__b.*")
+            .withColumn("rank", F.lit(1))
+        )
     # a target can reach a probe through several ring cells → dedupe pair
     joined = joined.groupBy(probe_id, target_id).agg(
         F.first("p_lon").alias("p_lon"),
