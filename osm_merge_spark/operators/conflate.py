@@ -354,11 +354,13 @@ def best_matches(scored: DataFrame, cap: int = CANDIDATE_CAP) -> DataFrame:
     """Deterministic best-match pick over the pinned candidate order
     (hits DESC, dist ASC, way_id ASC) — A2/A3.
 
-    Implemented as a ``min_by`` hash aggregation rather than a row_number
+    Implemented as a ``min_by`` aggregation rather than a row_number
     window: partial (map-side) aggregation collapses every partition to at
     most one candidate per ext_id *before* the exchange, so the shuffle
-    moves ~|primaries| slim rows instead of all |pairs| rows, and no
-    per-partition sort runs.  The candidate cap (A3, ``cap``) cannot change
+    moves ~|primaries| rows instead of all |pairs| rows.  (The struct
+    buffer makes Spark pick SortAggregate — a sort on the grouping key
+    only; the win is the partial-agg shuffle reduction, which a window
+    cannot do.)  The candidate cap (A3, ``cap``) cannot change
     the result here: rank 1 lies within any cap ≥ 1, so the capped pick
     equals the global best; the parameter is kept for API parity with the
     reference's cap-7 loop (`conflator.py:349-354`).  Ties are impossible —

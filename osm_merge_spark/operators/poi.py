@@ -90,9 +90,11 @@ def knn_join(
     )
     joined = joined.filter(F.col("dist") <= tolerance_m)
     if k == 1:
-        # nearest-only (the reference's case): one min_by hash aggregation
+        # nearest-only (the reference's case): one min_by aggregation
         # replaces the pair-dedupe shuffle AND the rank window — map-side
-        # partial agg collapses to one row per probe before the exchange.
+        # partial agg collapses to one row per probe before the exchange
+        # (SortAggregate due to the struct buffer; the shuffle reduction is
+        # the win).
         # Ring-duplicate rows of the same pair carry identical coordinates,
         # hence identical dist, so the (dist, target_id) pick stays
         # deterministic without deduping first.
