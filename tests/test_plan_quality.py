@@ -1,0 +1,89 @@
+"""Physical-plan regression tests: the 100 TB posture, pinned structurally.
+
+Wall-clock on this box drifts up to 2×, so scale regressions are asserted on
+the *plan*, which does not drift: no cartesian products, bounded Python
+boundaries, filter/column pushdown reaching the parquet scans, partial
+aggregation before exchanges where the operator contract promises it."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_merge_spark.operators import conflate as C
+from osm_merge_spark.operators import poi as P
+from osm_merge_spark.sources import synth
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def flagship_plan(spark):
+    conflated, _ = C.conflate(synth.external_ways(spark, SF), synth.osm_ways(spark, SF))
+    return plan_of(conflated)
+
+
+def test_flagship_no_cartesian_or_nested_loop(flagship_plan):
+    assert "CartesianProduct" not in flagship_plan
+    assert "BroadcastNestedLoopJoin" not in flagship_plan
+
+
+def test_flagship_python_boundary_bounded(flagship_plan):
+    # exactly 3 Arrow boundaries: cover per side + the pair-scoring kernel;
+    # a 4th means a UDF got re-evaluated (the stacked-ArrowEvalPython bug
+    # asNondeterministic() exists to prevent).  Formatted plans print each
+    # node in the tree and in the details — count unique "(n) Node" entries.
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", flagship_plan)) <= 3
+    assert "BatchEvalPython" not in flagship_plan  # no row-at-a-time Python
+
+
+def test_flagship_best_match_partial_agg(flagship_plan):
+    # the min_by best-match must partial-aggregate before its exchange —
+    # a Window here would shuffle every scored pair
+    assert re.search(r"SortAggregate|HashAggregate|ObjectHashAggregate", flagship_plan)
+    assert "Window" not in flagship_plan
+
+
+def test_filter_and_column_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select("event_id", "event_type", "user_id")
+    )
+    plan = plan_of(df)
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(event_type", plan)
+    # column pruning: props (the fat column) must not reach the scan schema
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "props" not in m.group(1)
+
+
+def test_knn_k1_single_agg_no_window(spark):
+    probes = spark.range(100).select(
+        F.col("id").alias("poi_id"),
+        (F.col("id") * 0.001 - 105.0).alias("lon"),
+        (F.col("id") * 0.0007 + 39.0).alias("lat"),
+    )
+    targets = spark.range(200).select(
+        F.col("id").alias("osm_id"),
+        (F.col("id") * 0.0005 - 105.0).alias("lon"),
+        (F.col("id") * 0.00035 + 39.0).alias("lat"),
+    )
+    out = P.knn_join(probes, targets, tolerance_m=50.0, k=1)
+    plan = plan_of(out)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # point joins are all-JVM
+
+
+def test_broadcast_used_for_salt_map(spark):
+    # the salt path must broadcast the (tiny) salt-factor table, never
+    # shuffle the big side by it
+    ext = synth.external_ways(spark, SF)
+    osm = synth.osm_ways(spark, SF)
+    pairs = C.candidate_pairs(ext, osm, salt_hot_threshold=1)  # force hot path
+    plan = plan_of(pairs)
+    assert "BroadcastHashJoin" in plan
