@@ -2488,3 +2488,83 @@ def q_stream_windows(spark, sf_dir):
         "n_events",
         F.round("total_value", 4).alias("total_value"),
     ).orderBy("ws", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Composed training-data prep: exact dedup → quality gate → per-language
+# token accounting — the end-to-end corpus-preparation pass, every stage the
+# real engine operator, one SQL twin for the whole chain.
+# ---------------------------------------------------------------------------
+
+_CORPUS_PREP_SQL = f"""
+WITH keep AS (
+  SELECT md5(text) AS h, min(doc_id) AS keeper FROM documents GROUP BY 1
+),
+d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT keeper FROM keep)
+),
+t AS (
+  SELECT doc_id, text, {_TOKS_SQL.format(t="text")} AS toks FROM d
+),
+v AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]', 0)) AS n_bpe,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL['de']}, lower(x)))) AS v_de,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL['en']}, lower(x)))) AS v_en,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL['es']}, lower(x)))) AS v_es,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL['fr']}, lower(x)))) AS v_fr
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_tokens, n_bpe,
+         CASE WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+              WHEN v_de = greatest(v_de, v_en, v_es, v_fr) THEN 'de'
+              WHEN v_en = greatest(v_de, v_en, v_es, v_fr) THEN 'en'
+              WHEN v_es = greatest(v_de, v_en, v_es, v_fr) THEN 'es'
+              ELSE 'fr' END AS lang,
+         round(
+           0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           + 0.4 * least(CASE WHEN n_tokens = 0 THEN 0.0
+                              ELSE CAST(v_en AS DOUBLE) / n_tokens END * 4.0, 1.0)
+           + 0.2 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                               ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                    / length(text) END),
+         6) AS quality
+  FROM v
+)
+SELECT lang, CAST(floor(n_tokens / 50.0) AS BIGINT) AS len_bucket, count(*) AS n_docs,
+       sum(n_tokens) AS total_ws_tokens,
+       sum(n_bpe) AS total_bpe_tokens,
+       round(sum(quality), 4) AS quality_sum
+FROM s WHERE quality >= 0.4
+GROUP BY lang, len_bucket ORDER BY lang, len_bucket
+"""
+
+
+@register("q_corpus_prep", _CORPUS_PREP_SQL)
+def q_corpus_prep(spark, sf_dir):
+    """End-to-end corpus prep over the documents table: exact dedup keepers
+    (semi-join against the md5 groupBy), quality gate ≥ 0.4, then
+    per-language doc/token accounting — the composed pretraining-filter
+    pipeline with every stage running the engine's own operators."""
+    d = _t(spark, sf_dir, "documents")
+    keepers = D.exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
+    kept = d.join(keepers, "doc_id", "left_semi")
+    stats = kept.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_estimate("text").alias("n_bpe"),
+        TX.detect_lang("text").alias("lang"),
+        TX.quality_score("text").alias("quality"),
+    ).filter(F.col("quality") >= 0.4)
+    return (
+        stats.withColumn("len_bucket", F.floor(F.col("n_tokens") / 50.0).cast("long"))
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.sum("quality"), 4).alias("quality_sum"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
