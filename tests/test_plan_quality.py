@@ -18,6 +18,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(df) -> str:
+    # a previously persisted+executed frame (other tests run conflate with
+    # persist_best=True) makes CacheManager substitute an InMemoryRelation
+    # whose AQE child prints Final+Initial plan sections — every node would
+    # count twice; clear the cache so the plan under test is pristine
+    df.sparkSession.catalog.clearCache()
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
