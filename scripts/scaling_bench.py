@@ -152,6 +152,11 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     max_sweeps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_SWEEPS", str(repeats + 3)))
     balance = float(os.environ.get("SPARK_GRAFT_SCALE_BALANCE", "1.15"))
+    # wall budget: a deep drift phase can stretch one executor run 5x; the
+    # gate must not chase convergence forever — past the budget, record the
+    # bests in hand (still valid: every task saw every completed sweep)
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "2700"))
+    t_start = time.time()
     k4 = 4 * n
     tasks = [(n, r) for r in range(n)] + [(k4, r) for r in range(k4)]
     best: dict[tuple[int, int], dict] = {}
@@ -171,6 +176,8 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
             # fleets have seen the box's fast state, the ratio is stable
             if balanced and improved <= 0.03:
                 break
+        if sweep + 1 >= 2 and time.time() - t_start > budget_s:
+            break
     return (
         _pack(n, [best[(n, r)] for r in range(n)]),
         _pack(k4, [best[(k4, r)] for r in range(k4)]),

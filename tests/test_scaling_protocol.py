@@ -81,3 +81,12 @@ def test_efficiency_computation_matches_main_formula(monkeypatch):
     eff = (b["rate"] / a["rate"]) / 4
     # true walls: N 60s/100k rows; 4N wall 15.8s/100k rows
     assert abs(eff - (100_000 / 15.8) / (100_000 / 60.0) / 4) < 1e-3
+
+
+def test_wall_budget_bounds_sweeps(monkeypatch):
+    # monotone improvement would run to the 6-sweep cap; an exhausted wall
+    # budget stops after the 2-sweep floor with the bests in hand
+    box, a, b = _run(
+        monkeypatch, lambda i: 2.0 * (0.9 ** (i // 5)), SPARK_GRAFT_SCALE_BUDGET_S=0
+    )
+    assert len(box.calls) == 10
