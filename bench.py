@@ -112,7 +112,9 @@ def run_scaling() -> dict:
     for the saturation analysis that motivates the protocol)."""
     r = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "scaling_bench.py")],
-        capture_output=True, text=True, timeout=3600,
+        # headroom above the sweep loop's own wall budget
+        # (SPARK_GRAFT_SCALE_BUDGET_S, default 2700 s + the in-flight sweep)
+        capture_output=True, text=True, timeout=5400,
         env={**os.environ, "SPARK_GRAFT_SKIP_SCALING": "1"},
     )
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]

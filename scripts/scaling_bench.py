@@ -169,6 +169,13 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
                 if key in best:
                     improved = max(improved, 1.0 - run["secs"] / best[key]["secs"])
                 best[key] = run
+            # mid-sweep break: once every task has >=2 full-sweep samples, a
+            # deep drift phase (one run can stretch 5x) must not push the
+            # whole protocol past the caller's timeout
+            if sweep >= 2 and time.time() - t_start > budget_s:
+                return _pack(n, [best[(n, r_)] for r_ in range(n)]), _pack(
+                    k4, [best[(k4, r_)] for r_ in range(k4)]
+                )
         if sweep + 1 >= repeats:
             secs4 = [best[(k4, r)]["secs"] for r in range(k4)]
             balanced = max(secs4) / max(min(secs4), 1e-9) <= balance
