@@ -133,61 +133,74 @@ def _pack(k: int, res: list[dict]) -> dict:
             "rate": round(rows / wall, 1), "per_executor_secs": [x["secs"] for x in res]}
 
 
+def _sweep_balance(sweep: dict, k4: int) -> float:
+    secs4 = [sweep[(k4, r)]["secs"] for r in range(k4)]
+    return max(secs4) / max(min(secs4), 1e-9)
+
+
 def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
     """Sequential-isolated simulation, drift-interleaved: each executor runs
     ALONE on the box (modeling a real cluster where every node owns its
     memory bus; cluster wall = max executor — range ownership means no
     cross-executor shuffle).
 
-    This box drifts in minutes-long phases (up to 2×), so consecutive
-    repeats of the SAME rank all land in one phase and best-of-R cannot
-    rescue them — and worse, the N fleet and the 4N fleet measured in
-    disjoint stretches sample different machine states, which corrupts the
-    N→4N ratio itself.  The protocol therefore interleaves: one *sweep* runs
-    the N rank and every 4N rank back-to-back, so every task samples every
-    machine phase; per-task best across sweeps then compares all tasks at
-    the box's common fast state.  While the 4N walls stay unbalanced
-    (max/min > SPARK_GRAFT_SCALE_BALANCE) extra sweeps run, up to
-    SPARK_GRAFT_SCALE_MAX_SWEEPS."""
+    This box drifts in phases from minutes to HOURS (up to 2×), so the N
+    fleet and the 4N fleet measured in disjoint stretches sample different
+    machine states, which corrupts the N→4N ratio itself.  Two defenses:
+
+    - one *sweep* runs the N rank and every 4N rank back-to-back, so a
+      sweep is a complete N-vs-4N experiment under near-identical machine
+      conditions — a uniformly slow phase multiplies both rates and cancels
+      out of the ratio;
+    - each sweep is judged as a unit, and the RECORDED sweep is chosen by
+      *internal consistency* (most-balanced 4N walls; tie → lowest total
+      wall), never by the efficiency number itself — selection on balance
+      filters within-sweep drift without cherry-picking the metric.
+      (A per-task best-of across sweeps is tempting but mixes windows: in
+      one real storm the N best came from a faster stretch than one 4N
+      rank ever saw, recording 0.578 for an engine split that measures
+      ~0.8 inside any single consistent window.)
+
+    While the best sweep's 4N walls stay unbalanced (max/min >
+    SPARK_GRAFT_SCALE_BALANCE) extra sweeps run, up to
+    SPARK_GRAFT_SCALE_MAX_SWEEPS; SPARK_GRAFT_SCALE_BUDGET_S bounds the
+    total wall (a storm must not push the protocol past the caller's
+    subprocess timeout — past the budget the completed sweeps stand)."""
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     max_sweeps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_SWEEPS", str(repeats + 3)))
     balance = float(os.environ.get("SPARK_GRAFT_SCALE_BALANCE", "1.15"))
-    # wall budget: a deep drift phase can stretch one executor run 5x; the
-    # gate must not chase convergence forever — past the budget, record the
-    # bests in hand (still valid: every task saw every completed sweep)
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "2700"))
     t_start = time.time()
     k4 = 4 * n
     tasks = [(n, r) for r in range(n)] + [(k4, r) for r in range(k4)]
-    best: dict[tuple[int, int], dict] = {}
+    sweeps: list[dict[tuple[int, int], dict]] = []
     for sweep in range(max_sweeps):
-        improved = 0.0
+        cur: dict[tuple[int, int], dict] = {}
+        aborted = False
         for k, r in tasks:
-            run = _run_once(r, k)
-            key = (k, r)
-            if key not in best or run["secs"] < best[key]["secs"]:
-                if key in best:
-                    improved = max(improved, 1.0 - run["secs"] / best[key]["secs"])
-                best[key] = run
-            # mid-sweep break: once every task has >=2 full-sweep samples, a
-            # deep drift phase (one run can stretch 5x) must not push the
-            # whole protocol past the caller's timeout
+            cur[(k, r)] = _run_once(r, k)
+            # mid-sweep budget break: discard the partial sweep, the
+            # completed ones stand (>=2 exist by construction)
             if sweep >= 2 and time.time() - t_start > budget_s:
-                return _pack(n, [best[(n, r_)] for r_ in range(n)]), _pack(
-                    k4, [best[(k4, r_)] for r_ in range(k4)]
-                )
-        if sweep + 1 >= repeats:
-            secs4 = [best[(k4, r)]["secs"] for r in range(k4)]
-            balanced = max(secs4) / max(min(secs4), 1e-9) <= balance
-            # converged = the last sweep moved no task's best by >3% — both
-            # fleets have seen the box's fast state, the ratio is stable
-            if balanced and improved <= 0.03:
+                aborted = True
                 break
+        if aborted:
+            break
+        sweeps.append(cur)
+        if sweep + 1 >= repeats and min(_sweep_balance(s, k4) for s in sweeps) <= balance:
+            break
         if sweep + 1 >= 2 and time.time() - t_start > budget_s:
             break
+    chosen = min(
+        sweeps,
+        key=lambda s: (
+            _sweep_balance(s, k4),
+            sum(run["secs"] for run in s.values()),
+        ),
+    )
     return (
-        _pack(n, [best[(n, r)] for r in range(n)]),
-        _pack(k4, [best[(k4, r)] for r in range(k4)]),
+        _pack(n, [chosen[(n, r)] for r in range(n)]),
+        _pack(k4, [chosen[(k4, r)] for r in range(k4)]),
     )
 
 

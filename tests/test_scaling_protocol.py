@@ -6,6 +6,8 @@ per-task best-of, and the balance+convergence gate are pinned here against
 simulated drift traces."""
 
 import importlib.util
+
+import pytest
 import os
 import sys
 
@@ -54,26 +56,38 @@ def test_stops_after_repeats_when_stable(monkeypatch):
     assert b["per_executor_secs"] == [15.0, 15.5, 15.2, 15.8]
 
 
-def test_slow_phase_filtered_by_best_of(monkeypatch):
-    # sweep 2 (calls 5..9) lands in a 2x-slow phase: bests must ignore it
+def test_slow_sweep_not_selected(monkeypatch):
+    # sweep 2 (calls 5..9) lands in a 2x-slow phase: balances tie (uniform
+    # drift cancels), the lowest-total-wall sweep is recorded
     box, a, b = _run(monkeypatch, lambda i: 2.0 if 5 <= i < 10 else 1.0)
     assert a["wall_secs"] == 60.0
     assert b["wall_secs"] == 15.8
 
 
-def test_extra_sweep_on_late_improvement(monkeypatch):
-    # slow first two sweeps, fast from sweep 3 → sweep 3 improves >3% →
-    # convergence gate forces a 4th sweep
-    box, a, b = _run(monkeypatch, lambda i: 1.5 if i < 10 else 1.0)
+def test_uniform_storm_preserves_ratio(monkeypatch):
+    # the whole protocol inside a 1.7x-slow phase: every sweep is uniformly
+    # slow, so the recorded RATIO is unaffected — the defense against
+    # hours-long degraded periods
+    box, a, b = _run(monkeypatch, lambda i: 1.7)
+    eff = (b["rate"] / a["rate"]) / 4
+    assert abs(eff - (100_000 / (15.8 * 1.7)) / (100_000 / (60.0 * 1.7)) / 4) < 1e-3
+
+
+def test_extra_sweep_until_balanced(monkeypatch):
+    # rank 2 alone runs 1.5x slow for the first three sweeps (unbalanced
+    # walls = internal drift) → extra sweep runs; the clean sweep 4 is the
+    # one recorded
+    box, a, b = _run(monkeypatch, lambda i: 1.5 if (i % 5 == 3 and i < 15) else 1.0)
     assert len(box.calls) == 20
     assert b["per_executor_secs"] == [15.0, 15.5, 15.2, 15.8]
 
 
 def test_sweep_cap_bounds_runs(monkeypatch):
-    # pathological monotone improvement: every sweep improves >3% — the cap
-    # (repeats+3 = 6 sweeps) must stop it
-    box, a, b = _run(monkeypatch, lambda i: 2.0 * (0.9 ** (i // 5)))
+    # a persistent genuine imbalance never satisfies the balance gate — the
+    # cap (repeats+3 = 6 sweeps) must stop it, recording the least-bad sweep
+    box, a, b = _run(monkeypatch, lambda i: 1.5 if i % 5 == 3 else 1.0)
     assert len(box.calls) == 30
+    assert b["per_executor_secs"][2] == pytest.approx(15.2 * 1.5)
 
 
 def test_efficiency_computation_matches_main_formula(monkeypatch):
@@ -84,9 +98,9 @@ def test_efficiency_computation_matches_main_formula(monkeypatch):
 
 
 def test_wall_budget_bounds_sweeps(monkeypatch):
-    # monotone improvement would run to the 6-sweep cap; an exhausted wall
-    # budget stops after the 2-sweep floor with the bests in hand
+    # a persistent imbalance would run to the 6-sweep cap; an exhausted
+    # wall budget stops after the 2-sweep floor with the sweeps in hand
     box, a, b = _run(
-        monkeypatch, lambda i: 2.0 * (0.9 ** (i // 5)), SPARK_GRAFT_SCALE_BUDGET_S=0
+        monkeypatch, lambda i: 1.5 if i % 5 == 3 else 1.0, SPARK_GRAFT_SCALE_BUDGET_S=0
     )
     assert len(box.calls) == 10
