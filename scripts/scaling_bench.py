@@ -22,9 +22,12 @@ BENCH/BASELINE.md controls):
   so every task samples every machine phase — consecutive per-rank repeats
   would all land in one phase, and N vs 4N measured in disjoint stretches
   would corrupt the ratio itself;
-- per-task best across sweeps (compare all tasks at the common fast state);
-- balance gate: while max/min 4N wall > SPARK_GRAFT_SCALE_BALANCE (default
-  1.15), extra sweeps run, up to SPARK_GRAFT_SCALE_MAX_SWEEPS (default R+3).
+- the recorded sweep is chosen by internal consistency (balanced 4N walls;
+  among balanced sweeps, fastest total wall) — never by the efficiency
+  number itself;
+- balance gate: while no sweep balances within SPARK_GRAFT_SCALE_BALANCE
+  (default 1.15), extra sweeps run, up to SPARK_GRAFT_SCALE_MAX_SWEEPS
+  (default R+3), bounded by SPARK_GRAFT_SCALE_BUDGET_S wall budget.
 
 Usage:
   python scripts/scaling_bench.py                 # orchestrate N=1 vs 4N=4
@@ -191,13 +194,16 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
             break
         if sweep + 1 >= 2 and time.time() - t_start > budget_s:
             break
-    chosen = min(
-        sweeps,
-        key=lambda s: (
-            _sweep_balance(s, k4),
-            sum(run["secs"] for run in s.values()),
-        ),
-    )
+    def total(s):
+        return sum(run["secs"] for run in s.values())
+
+    balanced = [s for s in sweeps if _sweep_balance(s, k4) <= balance]
+    if balanced:
+        # among internally-consistent sweeps, the fastest-overall one is the
+        # closest to dedicated-hardware conditions for every task
+        chosen = min(balanced, key=total)
+    else:
+        chosen = min(sweeps, key=lambda s: (_sweep_balance(s, k4), total(s)))
     return (
         _pack(n, [chosen[(n, r)] for r in range(n)]),
         _pack(k4, [chosen[(k4, r)] for r in range(k4)]),
@@ -225,7 +231,8 @@ def main() -> None:
         "protocol": f"multi-executor simulation ({mode}): K independent local[2] JVMs; "
                     "longitude-range ownership with exact threshold-padded secondary slices "
                     "(plans.distribute); drift-interleaved sweeps (N + all 4N ranks per sweep), "
-                    "per-task best-of, balance-gated extra sweeps",
+                    "recorded sweep chosen by internal consistency (balanced 4N walls, "
+                    "fastest total), balance-gated extra sweeps + wall budget",
     }))
 
 
