@@ -195,7 +195,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Char n-gram Jaccard near-dups within a length bucket (docs whose
     lengths differ by more than the bucket can't reach high jaccard anyway —
-    the bucket both prunes and bounds the join)."""
+    the bucket both prunes and bounds the join).
+
+    DEMO-SCALE variant, kept as the readable oracle: a popular length bucket
+    still goes quadratic at corpus scale.  The production path is
+    :func:`ngram_jaccard_pairs_gated`, which gates candidate pairs through
+    MinHash-LSH bands so the exact jaccard only runs on a sub-linear
+    candidate set."""
     g = docs.select(
         F.col(id_col),
         TX.char_ngrams(F.col(text_col), n).alias("grams"),

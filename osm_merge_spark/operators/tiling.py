@@ -224,7 +224,7 @@ def clip_rects_convex(
             in_c, in_n = dc >= 0, dn >= 0
             with np.errstate(invalid="ignore", divide="ignore"):
                 t = dc / (dc - dn)
-            inter = cur + t[:, None] * (nxt - cur)
+                inter = cur + t[:, None] * (nxt - cur)
             emit_inter = valid & (in_c ^ in_n)
             emit_nxt = valid & in_n
             cand[:, i, 0] = np.where(emit_inter[:, None], inter, np.nan)

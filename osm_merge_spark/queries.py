@@ -2414,11 +2414,11 @@ def _pmtiles_ids_sql() -> str:
 @register("q_pmtiles_ids", _pmtiles_ids_sql())
 def q_pmtiles_ids(spark, sf_dir):
     """PMTiles v3 addressing (K4): customers → z8 mercator tile → Hilbert
-    tile id via the pure-Column unrolled recurrence
-    (`tilesinks.hilbert_tile_id_col`), aggregated per tile.  The DuckDB twin
-    is *generated from the same unrolled steps* so the engines cannot
-    drift."""
-    from .sources.tilesinks import hilbert_tile_id_col
+    tile id via the linear per-step projection path
+    (`tilesinks.with_hilbert_tile_id` — z8's single-Column unroll no longer
+    compiles under Janino), aggregated per tile.  The DuckDB twin is
+    *generated from the same unrolled steps* so the engines cannot drift."""
+    from .sources.tilesinks import with_hilbert_tile_id
 
     z = 8
     n = 1 << z
@@ -2428,8 +2428,7 @@ def q_pmtiles_ids(spark, sf_dir):
         (1.0 - F.log(F.tan(F.radians("lat")) + 1.0 / F.cos(F.radians("lat"))) / float(np.pi)) / 2.0 * n
     ).cast("long")
     return (
-        pts.select("c_custkey", tx.alias("tx"), ty.alias("ty"))
-        .select("c_custkey", hilbert_tile_id_col(F.col("tx"), F.col("ty"), z).alias("tile_id"))
+        with_hilbert_tile_id(pts.select("c_custkey", tx.alias("tx"), ty.alias("ty")), "tx", "ty", z)
         .groupBy("tile_id")
         .agg(F.count("*").alias("cnt"), F.min("c_custkey").alias("first_key"))
         .orderBy("tile_id")

@@ -19,18 +19,41 @@ covered by unit tests over synthesized frames.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Strict WKT grammar for the AOI clip: geometry keyword + parenthesized
+# numeric coordinate lists only.  The AOI string is interpolated into a JDBC
+# subquery, so anything outside this grammar (quotes, semicolons, comments)
+# is rejected up front rather than shipped to the server.
+_WKT_RE = re.compile(
+    r"^\s*(?:POLYGON|MULTIPOLYGON|LINESTRING|MULTILINESTRING|POINT|MULTIPOINT|GEOMETRYCOLLECTION)"
+    r"[0-9eE+\-.,()\s]*$",
+    re.IGNORECASE,
+)
+
+
+def validate_aoi_wkt(aoi_wkt: str) -> str:
+    """Reject any AOI string that isn't plain numeric WKT.  The AOI is
+    interpolated into the pushdown subquery, so this is the injection gate —
+    callers passing externally-sourced AOIs rely on it."""
+    if not _WKT_RE.match(aoi_wkt) or "'" in aoi_wkt:
+        raise ValueError(f"AOI is not plain numeric WKT: {aoi_wkt[:80]!r}")
+    return aoi_wkt
 
 
 def postgis_query(aoi_wkt: str | None = None, highway_only: bool = True) -> str:
     """The server-side subquery (`dbextract.py:79-88` semantics): tag filter
-    + AOI containment evaluated by postgres, only matching rows ship."""
+    + AOI containment evaluated by postgres, only matching rows ship.  The
+    AOI must be trusted or pre-validated — :func:`validate_aoi_wkt` enforces
+    a strict numeric-WKT grammar before interpolation."""
     where = []
     if highway_only:
         where.append("tags->>'highway' IS NOT NULL")
     if aoi_wkt:
-        where.append(f"ST_Contains(ST_GeomFromEWKT('SRID=4326;{aoi_wkt}'), geom)")
+        where.append(f"ST_Contains(ST_GeomFromEWKT('SRID=4326;{validate_aoi_wkt(aoi_wkt)}'), geom)")
     cond = " AND ".join(where) or "TRUE"
     return (
         "(SELECT osm_id, version, timestamp, refs::text AS refs, "
@@ -83,8 +106,14 @@ def postgis_to_features(df: DataFrame) -> DataFrame:
     whole-stage codegen; no Python in the transform.
     """
     pat = F.lit(_HSTORE_PAIR)
-    keys = F.regexp_extract_all(F.col("tags"), pat, F.lit(1))
-    vals = F.regexp_extract_all(F.col("tags"), pat, F.lit(2))
+
+    def _unescape(arr):
+        # hstore escapes `"` and `\` inside quoted strings; collapse any
+        # backslash escape to the escaped char (psycopg2-decoded parity)
+        return F.transform(arr, lambda s: F.regexp_replace(s, F.lit(r"\\(.)"), F.lit(r"$1")))
+
+    keys = _unescape(F.regexp_extract_all(F.col("tags"), pat, F.lit(1)))
+    vals = _unescape(F.regexp_extract_all(F.col("tags"), pat, F.lit(2)))
     refs = F.transform(
         F.filter(
             F.split(F.regexp_replace(F.col("refs"), F.lit(r"[{}\[\]]"), F.lit("")), ","),

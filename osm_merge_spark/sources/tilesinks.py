@@ -109,17 +109,22 @@ def tile_id_from_pmtiles(tile_id: int) -> tuple[int, int, int]:
 
 
 def hilbert_tile_id_col(x: Column, y: Column, z: int) -> Column:
-    """Pure-Column (JVM, codegen-able) PMTiles tile id for a constant zoom —
-    the distributed path used by queries; mixed-zoom frames go through the
-    Arrow kernel in :func:`write_pmtiles`.  Unrolled ``z`` steps of the same
-    Hilbert recurrence as :func:`hilbert_xy2d`.
+    """Pure-Column (JVM, codegen-able) PMTiles tile id for a constant zoom.
+    Unrolled ``z`` steps of the same Hilbert recurrence as
+    :func:`hilbert_xy2d`.
 
     Each step references the running x/y in several branches, and Catalyst's
-    projection collapse inlines them, so the expression tree grows ~3^z —
-    fine through z≈8, OOMs the planner well before z=16.  Deeper pyramids
-    use :func:`with_tile_id` (Arrow kernel, O(z) work per batch)."""
-    if z > 8:
-        raise ValueError("hilbert_tile_id_col unrolls 3^z expression nodes; use with_tile_id for z > 8")
+    projection collapse inlines them, so the expression tree grows ~3^z.
+    Empirically z=7 is the last zoom whose generated Java still passes Janino
+    (z=8 falls back to interpreted projection after ~minutes of codegen) —
+    hence the hard z<=7 guard.  Deeper pyramids use
+    :func:`with_hilbert_tile_id` (per-step projections, linear in z, any
+    zoom) or :func:`with_tile_id` (Arrow kernel, mixed zooms)."""
+    if z > 7:
+        raise ValueError(
+            "hilbert_tile_id_col unrolls ~3^z expression nodes and stops compiling at z=8; "
+            "use with_hilbert_tile_id (linear projections) or with_tile_id (Arrow) for z > 7"
+        )
     n = 1 << z
     d = F.lit(zoom_base(z)).cast("long")
     x = x.cast("long")
@@ -133,6 +138,40 @@ def hilbert_tile_id_col(x: Column, y: Column, z: int) -> Column:
         ny = F.when(ry == 1, y).when(rx == 1, F.lit(n - 1) - x).otherwise(x)
         x, y = nx, ny
     return d
+
+
+def with_hilbert_tile_id(df: DataFrame, x: str, y: str, z: int, out_col: str = "tile_id") -> DataFrame:
+    """PMTiles tile id at constant zoom for any z — the deep-pyramid JVM path.
+
+    One ``withColumns`` projection per Hilbert step: Catalyst's
+    CollapseProject only inlines aliases that are cheap or referenced once,
+    and each step's CASE chains reference the running hx/hy several times, so
+    the per-step projections survive as separate (small, codegen-able)
+    Project nodes — total expression size LINEAR in z instead of the ~3^z
+    blowup of :func:`hilbert_tile_id_col`'s single-Column unroll."""
+    n = 1 << z
+    hx, hy, hd = f"__hil_x_{out_col}", f"__hil_y_{out_col}", f"__hil_d_{out_col}"
+    df = df.withColumns(
+        {
+            hx: F.col(x).cast("long"),
+            hy: F.col(y).cast("long"),
+            hd: F.lit(zoom_base(z)).cast("long"),
+        }
+    )
+    for i in range(z - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(F.col(hx), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col(hy), i).bitwiseAND(F.lit(1))
+        nx = F.when(ry == 1, F.col(hx)).when(rx == 1, F.lit(n - 1) - F.col(hy)).otherwise(F.col(hy))
+        ny = F.when(ry == 1, F.col(hy)).when(rx == 1, F.lit(n - 1) - F.col(hx)).otherwise(F.col(hx))
+        df = df.withColumns(
+            {
+                hd: F.col(hd) + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry),
+                hx: nx,
+                hy: ny,
+            }
+        )
+    return df.withColumn(out_col, F.col(hd)).drop(hx, hy, hd)
 
 
 def hilbert_tile_id_sql(x: str, y: str, z: int, source: str, keep: str) -> str:
@@ -323,7 +362,7 @@ def write_pmtiles(
         data_off,
         len(data),
         int(stats.n),  # addressed tiles
-        len(entries),  # tile entries
+        len(packed),  # tile entries actually serialized (post run-length coalesce)
         len(seen),  # distinct tile contents
         1,  # clustered
         2,  # internal compression: gzip
@@ -346,7 +385,7 @@ def write_pmtiles(
         fd.write(meta)
         fd.write(leaves)
         fd.write(data)
-    return {"tiles": int(stats.n), "entries": len(entries), "contents": len(seen)}
+    return {"tiles": int(stats.n), "entries": len(packed), "contents": len(seen)}
 
 
 def read_pmtiles(path: str) -> list[tuple[int, int, int, bytes]]:

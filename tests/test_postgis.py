@@ -20,6 +20,32 @@ def test_query_pushdown_shape():
     assert "WHERE TRUE" in PG.postgis_query(aoi_wkt=None, highway_only=False)
 
 
+def test_aoi_wkt_injection_rejected():
+    import pytest
+
+    for bad in (
+        "POLYGON((0 0)); DROP TABLE ways_line; --",
+        "POLYGON((0 0,1 0,1 1,0 0))' OR '1'='1",
+        "NOT_WKT(0 0)",
+        "POLYGON((0 0,1 0,1 1,0 0)) UNION SELECT",
+    ):
+        with pytest.raises(ValueError):
+            PG.postgis_query(aoi_wkt=bad)
+    # plain numeric WKT (incl. scientific notation, multipolygons) passes
+    assert PG.validate_aoi_wkt("MULTIPOLYGON(((0 0,1e-3 0,1 1,0 0)))")
+    assert PG.validate_aoi_wkt(AOI) == AOI
+
+
+def test_hstore_backslash_unescape(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None, "{}", r'"path"=>"C:\\temp\\x", "q\"k"=>"a\\b"', "POINT(0 0)")],
+        "osm_id long, version int, timestamp string, refs string, tags string, geom_wkt string",
+    )
+    tags = PG.postgis_to_features(df).first().tags
+    assert tags["path"] == "C:\\temp\\x"
+    assert tags['q"k'] == "a\\b"
+
+
 def test_reader_is_partitioned(spark):
     r = PG.postgis_reader(spark, "jdbc:postgresql://db/underpass", aoi_wkt=AOI, num_partitions=32)
     # constructing the reader must not connect; options live on the reader
@@ -49,7 +75,7 @@ def test_post_transform_hstore_refs_wkt(spark):
     assert a.way_id == 101 and a.version == 3
     assert a.refs == [11, 12, 13]
     assert a.tags["highway"] == "path"
-    assert a.tags["name"] == 'Say \\"hi\\"'  # raw hstore escapes preserved
+    assert a.tags["name"] == 'Say "hi"'  # hstore escapes decoded (psycopg2 parity)
     assert a.geom == "LINESTRING(0 0,1 1)"
     assert b.refs == [] and b.tags == {}
 

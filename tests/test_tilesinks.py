@@ -44,6 +44,24 @@ def test_hilbert_column_matches_numpy(spark):
     assert sorted(got["tid"]) == list(range(base, base + n * n))
 
 
+def test_hilbert_column_guard_z8(spark):
+    with pytest.raises(ValueError):
+        TS.hilbert_tile_id_col(F.lit(0), F.lit(0), 8)
+
+
+def test_with_hilbert_tile_id_deep_zoom(spark):
+    # z=9 is past the single-Column unroll's compile ceiling; the per-step
+    # projection path must still match the numpy kernel.
+    z, n = 9, 1 << 9
+    df = spark.range(4096).select(
+        ((F.col("id") * 2654435761) % n).alias("x"),
+        ((F.col("id") * 40503 + 7) % n).alias("y"),
+    )
+    got = TS.with_hilbert_tile_id(df, "x", "y", z).toPandas()
+    want = TS.pmtiles_tile_id(np.full(len(got), z), got["x"].to_numpy(), got["y"].to_numpy())
+    assert (got["tile_id"].to_numpy() == want).all()
+
+
 def test_pmtiles_round_trip(spark, tiles, tmp_path):
     path = str(tmp_path / "out.pmtiles")
     stats = TS.write_pmtiles(tiles, path, tile_type="jpg", metadata={"name": "t"})
@@ -56,11 +74,14 @@ def test_pmtiles_round_trip(spark, tiles, tmp_path):
         vals = struct.unpack(TS._HEADER_FMT, fd.read(127))
     assert vals[0] == b"PMTiles" and vals[1] == 3
     assert (vals[17], vals[18]) == (3, 5)
+    # NumTileEntries reflects the run-length-coalesced directory entries,
+    # which can only be <= the addressed-tile count
+    assert vals[11] == stats["entries"] <= vals[10] == stats["tiles"]
 
 
-def test_pmtiles_leaf_spill_and_dedup(spark, tmp_path):
-    # >4096 entries forces leaf directories; constant payload exercises the
-    # content-dedup + run-length path
+def test_pmtiles_dedup_and_run_length(spark, tmp_path):
+    # constant payload over a full grid exercises the content-dedup +
+    # run-length path: one content record, ONE serialized directory entry
     z = 7
     df = (
         spark.range((1 << z) * (1 << z))
@@ -73,11 +94,33 @@ def test_pmtiles_leaf_spill_and_dedup(spark, tmp_path):
     )
     path = str(tmp_path / "big.pmtiles")
     stats = TS.write_pmtiles(df, path)
-    assert stats == {"tiles": 16384, "entries": 16384, "contents": 1}
+    # the header's NumTileEntries reports serialized entries, not tiles
+    assert stats == {"tiles": 16384, "entries": 1, "contents": 1}
     got = TS.read_pmtiles(path)
     assert len(got) == 16384 and all(b == b"\x01\x02" for _, _, _, b in got)
     zs = {(x, y) for z_, x, y, _ in got}
     assert len(zs) == 16384
+
+
+def test_pmtiles_leaf_spill(spark, tmp_path):
+    # distinct payloads defeat both dedup and run-length coalescing, so
+    # >4096 packed entries force the root→leaf directory spill
+    z = 7
+    df = spark.range((1 << z) * (1 << z)).select(
+        F.lit(z).cast("int").alias("z"),
+        (F.col("id") % (1 << z)).alias("x"),
+        (F.col("id") / (1 << z)).cast("long").alias("y"),
+        F.encode(F.format_string("payload-%d", "id"), "utf-8").alias("data"),
+    )
+    path = str(tmp_path / "leafy.pmtiles")
+    stats = TS.write_pmtiles(df, path)
+    assert stats == {"tiles": 16384, "entries": 16384, "contents": 16384}
+    with open(path, "rb") as fd:
+        vals = struct.unpack(TS._HEADER_FMT, fd.read(127))
+    assert vals[7] > 0  # non-empty leaf directory section
+    got = {(x, y): blob for _, x, y, blob in TS.read_pmtiles(path)}
+    assert len(got) == 16384
+    assert got[(5, 3)] == b"payload-%d" % (3 * (1 << z) + 5)
 
 
 def test_mbtiles_round_trip_and_flip(spark, tiles, tmp_path):
