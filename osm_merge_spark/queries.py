@@ -1147,6 +1147,125 @@ def _tag_sig(tags) -> "F.Column":
     return F.concat_ws("|", entries)
 
 
+# ---------------------------------------------------------------------------
+# J3 — length-mismatch sentinel, driven END-TO-END.  The flagship corpus is
+# deliberately built so |len_a − len_b| ≤ 1000 m everywhere (its SQL twin
+# omits J3); this query constructs long-way pairs that force the trigger and
+# hash-checks the −1.0 / 0.0 sentinel against a DuckDB twin that recomputes
+# the decision — haversine lengths for the trigger, mercator-frame hull
+# containment / segment distance for the contact test
+# (`conflator.py:608-630`).
+# ---------------------------------------------------------------------------
+
+
+def _hav_leg_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """DuckDB haversine leg — same formula/constants as geometry.haversine_m."""
+    return (
+        f"2.0 * 6371008.8 * asin(sqrt(least(1.0, greatest(0.0, "
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))))"
+    )
+
+
+def _merc_y_sql(lat: str) -> str:
+    """DuckDB twin of geometry.mercator_xy's y (degree units)."""
+    return f"(ln(tan(pi() / 4.0 + radians({lat}) / 2.0)) * 180.0 / pi())"
+
+
+def _cross_sql(ax, ay, bx, by, px, py) -> str:
+    """2-D cross product (B−A)×(P−A) — the hull edge-side test."""
+    return f"((({bx}) - ({ax})) * (({py}) - ({ay})) - (({by}) - ({ay})) * (({px}) - ({ax})))"
+
+
+def _length_sentinel_sql() -> str:
+    # corpus arithmetic reproduced verbatim from the Spark side
+    my = _merc_y_sql
+    len_new = _hav_leg_sql("lon", "lat", "lon + 0.001", "lat")
+    len_tri = (
+        _hav_leg_sql("lon - 0.02", "lat - 0.01", "lon + 0.02", "lat - 0.01")
+        + " + "
+        + _hav_leg_sql("lon + 0.02", "lat - 0.01", "lon", "lat + 0.02")
+    )
+    len_far = _hav_leg_sql("lon + 0.05", "lat + 0.05", "lon + 0.09", "lat + 0.05")
+    len_near = _hav_leg_sql("lon", "lat + 0.0005", "lon + 0.001", "lat + 0.0005")
+    # case 0 contact: any new vertex inside the CCW triangle hull (merc frame)
+    tri_pts = [("lon - 0.02", my("lat - 0.01")), ("lon + 0.02", my("lat - 0.01")), ("lon", my("lat + 0.02"))]
+    new_pts = [("lon", my("lat")), ("lon + 0.001", my("lat"))]
+    inside = " OR ".join(
+        "("
+        + " AND ".join(
+            _cross_sql(*tri_pts[i], *tri_pts[(i + 1) % 3], px, py) + " >= -1e-18" for i in range(3)
+        )
+        + ")"
+        for px, py in new_pts
+    )
+    # case 1 contact: clamped point→segment distance (merc frame) for each
+    # new vertex vs the far old segment; contact iff any d² <= 1e-24
+    sax, say = "lon + 0.05", my("lat + 0.05")
+    sbx, sby = "lon + 0.09", my("lat + 0.05")
+    d2s = []
+    for px, py in new_pts:
+        t = (
+            f"least(1.0, greatest(0.0, "
+            f"((({px}) - ({sax})) * (({sbx}) - ({sax})) + (({py}) - ({say})) * (({sby}) - ({say}))) / "
+            f"(pow(({sbx}) - ({sax}), 2) + pow(({sby}) - ({say}), 2))))"
+        )
+        d2s.append(
+            f"(pow(({px}) - (({sax}) + {t} * (({sbx}) - ({sax}))), 2) + "
+            f"pow(({py}) - (({say}) + {t} * (({sby}) - ({say}))), 2))"
+        )
+    far_contact = f"least({d2s[0]}, {d2s[1]}) <= 1e-24"
+    # case 2 exact distance: pure-latitude offset → perpendicular foot, so
+    # the equirect kernel distance reduces to |Δ(lat·M_PER_DEG_LAT)|
+    near_dist = "abs((lat + 0.0005) * 110540.0 - lat * 110540.0)"
+    return f"""
+    WITH pts AS ({CUST_PT_SQL.strip()}),
+    geo AS (
+      SELECT c_custkey, c_custkey % 3 AS case_id, lon, lat,
+             {len_new} AS len_new,
+             CASE c_custkey % 3 WHEN 0 THEN {len_tri} WHEN 1 THEN {len_far} ELSE {len_near} END AS len_old
+      FROM pts
+    )
+    SELECT c_custkey, case_id,
+           CASE WHEN abs(len_new - len_old) > 1000.0
+                THEN CASE WHEN (CASE case_id WHEN 0 THEN ({inside}) ELSE ({far_contact}) END)
+                          THEN 0.0 ELSE -1.0 END
+                ELSE round({near_dist}, 4) END AS dist_m
+    FROM geo ORDER BY c_custkey
+    """
+
+
+@register("q_length_sentinel", _length_sentinel_sql())
+def q_length_sentinel(spark, sf_dir):
+    """J3 end-to-end (`conflator.py:608-630`): three constructed pair shapes
+    per customer anchor — (0) a >1 km triangle way whose hull CONTAINS the
+    short external way → sentinel 0.0; (1) a >1 km way far from it →
+    sentinel −1.0; (2) a matched-length parallel way → no trigger, real
+    kernel distance.  Runs the production fused scoring kernel
+    (`conflate.geom_score_udf`), so the mismatch gate, `hull_contact`, and
+    the distance kernel are all on the scored path."""
+    pts = customer_points(spark, sf_dir)
+    lon, lat = F.col("lon"), F.col("lat")
+    r = F.pmod(F.col("c_custkey"), F.lit(3))
+    new_geom = F.array(lon, lat, lon + 0.001, lat)
+    tri = F.array(lon - 0.02, lat - 0.01, lon + 0.02, lat - 0.01, lon, lat + 0.02)
+    far = F.array(lon + 0.05, lat + 0.05, lon + 0.09, lat + 0.05)
+    near = F.array(lon, lat + 0.0005, lon + 0.001, lat + 0.0005)
+    pairs = pts.select(
+        "c_custkey",
+        r.alias("case_id"),
+        new_geom.alias("geom_p"),
+        F.when(r == 0, tri).when(r == 1, far).otherwise(near).alias("geom_s"),
+    )
+    scored = pairs.select(
+        "c_custkey", "case_id", C.geom_score_udf(F.col("geom_p"), F.col("geom_s")).alias("s")
+    )
+    return scored.select(
+        "c_custkey", "case_id", F.round(F.col("s.dist"), 4).alias("dist_m")
+    ).orderBy("c_custkey")
+
+
 @register("q_conflate_flagship", CONFLATE_FLAGSHIP_SQL)
 def q_conflate_flagship(spark, sf_dir):
     """§3.1 flagship: full conflation over the synthetic corpus, hash-checked

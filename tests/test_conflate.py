@@ -169,3 +169,16 @@ def test_partition_count_invariance(spark):
     a = sorted((r["ext_id"], r["way_id"]) for r in out1.select("ext_id", "way_id").collect())
     b = sorted((r["ext_id"], r["way_id"]) for r in out2.select("ext_id", "way_id").collect())
     assert a == b
+
+
+def test_length_sentinel_branches_fire(spark):
+    """q_length_sentinel drives all three J3 outcomes through the production
+    scoring kernel: hull contact (0.0), no contact (-1.0), and the untriggered
+    real distance."""
+    from osm_merge_spark.queries import q_length_sentinel
+
+    out = q_length_sentinel(spark, SF).toPandas()
+    by_case = out.groupby("case_id")["dist_m"].agg(["min", "max"])
+    assert (by_case.loc[0] == 0.0).all()      # long triangle hull contains new way
+    assert (by_case.loc[1] == -1.0).all()     # long far way: sentinel
+    assert by_case.loc[2]["min"] > 0.0        # matched lengths: trigger never fires
