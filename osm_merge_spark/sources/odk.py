@@ -111,3 +111,97 @@ def read_odk_csv(spark: SparkSession, path: str, id_col: str | None = None) -> D
 def read_odk_json(spark: SparkSession, path: str, id_col: str | None = None) -> DataFrame:
     """ODK Central JSON export (nested groups) → POI features."""
     return odk_to_features(spark.read.option("multiLine", True).json(path), id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# ODK XML Instance files (`parsers.py:287-358` XMLparser; dispatch
+# `conflator.py:919-928`).  One small XML document per submission, copied off
+# the phone — so the distributed unit is the FILE: a wholetext scan yields
+# one row per instance, and parsing runs in an Arrow-batched mapInPandas
+# kernel (stdlib ElementTree; xml is inherently per-document work, never
+# row-at-a-time Python over fields).
+# ---------------------------------------------------------------------------
+
+# ODK geopoint value: "lat lon altitude accuracy".  The reference's detection
+# regex (`parsers.py:320` — all four tokens `[0-9.]*`, i.e. OPTIONAL) matches
+# any value containing three spaces and then crashes float() on non-numeric
+# text; this engine requires four numeric tokens (documented deviation).
+_GEOPOINT_RE = r"^-?[0-9.]+ -?[0-9.]+ -?[0-9.]+ -?[0-9.]+$"
+
+_ODK_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def _flatten_xml_element(elem, prefix: str = "") -> list[tuple[str, str]]:
+    """Depth-first element flatten with ``:``-joined paths (the FlatDict
+    shape the reference builds, `parsers.py:317`); attributes skipped
+    (reference drops ``@``-keys, `parsers.py:322-323`); namespaces
+    stripped."""
+    out: list[tuple[str, str]] = []
+    children = list(elem)
+    if not children:
+        if elem.text is not None and elem.text.strip():
+            out.append((prefix, elem.text.strip()))
+        return out
+    for ch in children:
+        tag = ch.tag.rsplit("}", 1)[-1]
+        out.extend(_flatten_xml_element(ch, f"{prefix}:{tag}" if prefix else tag))
+    return out
+
+
+def parse_odk_xml_docs(docs) -> "pd.DataFrame":
+    """Batch kernel: XML instance strings → (lon, lat, tags) rows.  Same
+    downstream semantics as :func:`odk_to_features`: geopoint detection
+    (``Point((gps[1], gps[0]))`` — lat first in the value, `parsers.py:331`),
+    metadata ignore list, basename + convertEntry renames, last geopoint
+    wins (reference overwrites ``geom`` per match)."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    pat = re.compile(_GEOPOINT_RE)
+    lons, lats, tag_maps = [], [], []
+    for doc in docs:
+        lon = lat = None
+        tags: dict[str, str] = {}
+        root = ET.fromstring(doc)
+        if root.tag.rsplit("}", 1)[-1] != "data":
+            data = root.find(".//data")
+            root = data if data is not None else root
+        for key, value in _flatten_xml_element(root):
+            base = basename(key)
+            if base in IGNORE:
+                continue
+            if pat.match(value):
+                gps = value.split(" ")
+                lat, lon = float(gps[0]), float(gps[1])
+                continue
+            if value:
+                tags[TAG_RENAMES.get(base, base)] = value
+        lons.append(lon)
+        lats.append(lat)
+        tag_maps.append(tags)
+    return pd.DataFrame({"lon": lons, "lat": lats, "tags": tag_maps})
+
+
+def odk_xml_to_features(df: DataFrame, xml_col: str = "value") -> DataFrame:
+    """Frame of XML instance strings → POI features (mapInPandas kernel)."""
+
+    def run(batches):
+        for pdf in batches:
+            yield parse_odk_xml_docs(pdf[xml_col])
+
+    return df.mapInPandas(run, _ODK_XML_SCHEMA)
+
+
+def read_odk_xml(spark: SparkSession, path: str) -> DataFrame:
+    """ODK XML Instance ingest (S5 XML variant): one file per submission,
+    wholetext scan (splittable ACROSS files — the per-file document is the
+    atomic unit), Arrow-batched parse."""
+    return odk_xml_to_features(spark.read.text(path, wholetext=True))
