@@ -1148,6 +1148,65 @@ def _tag_sig(tags) -> "F.Column":
 
 
 # ---------------------------------------------------------------------------
+# S8 — basemap provider URL generation (`basemapper.py:167-204`): the tile
+# work-list → per-mirror URL step as pure Column string math, hash-checked
+# against a DuckDB twin that rebuilds every template (incl. the unrolled
+# Bing quadkey digits) from the same tile arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _tile_urls_sql() -> str:
+    z = 10
+    n = 1 << z
+    qk = " || ".join(
+        f"CAST(((tx >> {i - 1}) & 1) + 2 * ((ty >> {i - 1}) & 1) AS VARCHAR)" for i in range(z, 0, -1)
+    )
+    path_zyx = "CAST(10 AS VARCHAR) || '/' || CAST(ty AS VARCHAR) || '/' || CAST(tx AS VARCHAR)"
+    return f"""
+    WITH pts AS ({CUST_PT_SQL.strip()}),
+    tiles AS (
+      SELECT c_custkey,
+             CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT) AS tx,
+             CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * {n}) AS BIGINT) AS ty
+      FROM pts
+    )
+    SELECT c_custkey,
+           'http://clarity.maptiles.arcgis.com/arcgis/rest/services/World_Imagery/MapServer/tile/'
+             || {path_zyx} AS url_esri,
+           'http://ecn.t0.tiles.virtualearth.net/tiles/h' || {qk} || '.jpg?g=129&mkt=en&stl=H' AS url_bing,
+           'https://mt0.google.com/vt?lyrs=s&x=' || CAST(tx AS VARCHAR) || '&s=&y=' || CAST(ty AS VARCHAR)
+             || '&z=10' AS url_google,
+           'https://basemap.nationalmap.gov/ArcGIS/rest/services/USGSImageryOnly/MapServer/tile/'
+             || {path_zyx} AS url_usgs
+    FROM tiles ORDER BY c_custkey
+    """
+
+
+@register("q_tile_urls", _tile_urls_sql())
+def q_tile_urls(spark, sf_dir):
+    """S8 URL templates: customer points → z10 slippy tiles → per-provider
+    download URLs via `basemap.tile_urls` (Column string math; Bing quadkey
+    from `media.quadkey`)."""
+    from .sources.basemap import PROVIDERS, tile_urls
+
+    z = 10
+    n = 1 << z
+    pts = customer_points(spark, sf_dir)
+    tiles = pts.select(
+        "c_custkey",
+        F.lit(z).alias("z"),
+        F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("long").alias("x"),
+        F.floor(
+            (1.0 - F.log(F.tan(F.radians("lat")) + 1.0 / F.cos(F.radians("lat"))) / float(np.pi)) / 2.0 * n
+        ).cast("long").alias("y"),
+    )
+    providers = [PROVIDERS[k] for k in ("esri", "bing", "google", "usgs")]
+    return tile_urls(tiles, providers).select(
+        "c_custkey", "url_esri", "url_bing", "url_google", "url_usgs"
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
 # J3 — length-mismatch sentinel, driven END-TO-END.  The flagship corpus is
 # deliberately built so |len_a − len_b| ≤ 1000 m everywhere (its SQL twin
 # omits J3); this query constructs long-way pairs that force the trigger and
