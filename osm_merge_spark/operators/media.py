@@ -5,11 +5,13 @@ Reference: the raster leg of osm-merge — TMS tile enumeration / quadkey math
 (`osm_merge/fieldwork/basemapper.py:167-239`) and the MBTiles blob store
 (`osm_merge/fieldwork/sqlite.py:32-230`).
 
-Image/audio decode libraries don't ship in this container, so the decode
-kernel is a clearly-marked stub (deterministic fake features) — but the
-Spark-side plumbing is real and tested: schema, Arrow batch shape,
-``mapInPandas`` signature, and partitioning are exactly what a real decoder
-would drop into.
+PNG payloads are decoded and resized FOR REAL via the pure-python codec in
+`functions/png.py` (stdlib zlib + numpy unfiltering) — dims, features, and
+thumbnails come from actual pixels.  Other codecs (JPEG, video) genuinely
+have no decoder in this container, so they keep a clearly-marked
+deterministic fake; the Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` signature, partitioning — is identical for both and is what
+a libjpeg/ffmpeg kernel would drop into.
 """
 
 from __future__ import annotations
@@ -21,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions import png
 
 # ---------------------------------------------------------------------------
 # Tile-ref math (z/y/x strings ↔ columns; Bing quadkey)
@@ -75,16 +79,32 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _gray_plane(img: np.ndarray) -> np.ndarray:
+    """Decoded image → 2-D luminance plane (first channel for multi-band)."""
+    return img if img.ndim == 2 else img[:, :, 0]
+
+
 def decode_media_batch(payload: pd.Series) -> pd.DataFrame:
-    """STUB — real image decode (PIL/ffmpeg) is unavailable in this
-    container.  Produces deterministic fake (width, height, 8-dim feature)
-    from the payload bytes so the distributed plumbing is fully testable.
-    Swap this function for a real decoder; the engine around it is final."""
+    """Media decode: PNG payloads are decoded FOR REAL (pure-python codec,
+    `functions/png.py` — IHDR dims, zlib inflate, full filter-set
+    unfiltering); the 8-dim feature is the first 8 pixels of the luminance
+    plane (wrapped, /255) — the verification contract where a learned
+    embedder would drop in.  Non-PNG payloads (JPEG video containers etc.,
+    whose codecs genuinely aren't in this container) keep the deterministic
+    fake so the plumbing stays testable; that remainder is the only stub
+    left."""
     feats = []
     for blob in payload:
+        if png.is_png(blob):
+            plane = _gray_plane(png.decode_png(bytes(blob)))
+            h, w = plane.shape
+            flat = plane.reshape(-1)
+            idx = np.arange(8) % flat.size
+            feats.append((w, h, (flat[idx].astype(np.float32) / 255.0).tolist()))
+            continue
         b = np.frombuffer(blob if blob is not None else b"\x00", dtype=np.uint8)
-        h = int(b[: min(64, len(b))].sum())
-        feats.append((256 + h % 256, 256 + (h * 7) % 256, (b[:8].astype(np.float32) / 255.0).tolist()))
+        hs = int(b[: min(64, len(b))].sum())
+        feats.append((256 + hs % 256, 256 + (hs * 7) % 256, (b[:8].astype(np.float32) / 255.0).tolist()))
     return pd.DataFrame(feats, columns=["width", "height", "feature"])
 
 
@@ -109,6 +129,30 @@ def synth_payload(ref: Column | str) -> Column:
     return F.to_binary(F.md5(r), F.lit("hex"))
 
 
+def synth_png_batch(refs: pd.Series) -> pd.Series:
+    """Deterministic VALID PNG tile per ref: md5(ref) seeds the dims
+    (w = 1+b0%13, h = 1+b1%11) and base shade; px[r][c] = (base+7r+3c)%256;
+    the scanline filter cycles r%5 so decoding exercises every unfilter
+    branch.  The same md5 arithmetic is reproducible in the DuckDB oracle."""
+    import hashlib
+
+    out = []
+    for ref in refs:
+        d = hashlib.md5(str(ref).encode()).hexdigest()
+        b0, b1, b2 = int(d[0:2], 16), int(d[2:4], 16), int(d[4:6], 16)
+        w, h = 1 + b0 % 13, 1 + b1 % 11
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        img = ((b2 + 7 * r + 3 * c) % 256).astype(np.uint8)
+        out.append(png.encode_png(img, np.arange(h) % 5))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_png_payload(ref: pd.Series) -> pd.Series:
+    return synth_png_batch(ref)
+
+
 # ---------------------------------------------------------------------------
 # Resize + frame-sample plumbing (decode stubs, real distributed shape)
 # ---------------------------------------------------------------------------
@@ -124,36 +168,41 @@ MEDIA_RESIZE_SCHEMA = T.StructType(
 )
 
 
+_SIG_MOD = 1_000_000_007
+
+
 def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
     """Thumbnail/resize stage over (doc_id, media_ref, payload binary) via
-    ``mapInPandas``.  The resample kernel is a STUB (no image libs in this
-    container): output dims follow the aspect-preserving integer math a real
-    resizer would use, and ``thumb_sig`` deterministically stands in for the
-    resized bytes (md5 of ref|dims) — swap the inner lambda for PIL/opencv
-    and the distributed shape (schema, Arrow batches, partitioning) is
-    already final."""
+    ``mapInPandas``.  PNG payloads are REALLY resized: decode, aspect-
+    preserving integer dims, nearest-neighbor downsample over the luminance
+    plane, and ``thumb_sig`` is a position-weighted polynomial hash of the
+    RESIZED PIXELS (``Σ px·(pos+1) mod 1e9+7`` — SQL-reproducible, so the
+    oracle checks the actual resampled values).  Non-PNG payloads keep the
+    stub dims + md5-of-dims signature."""
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = decode_media_batch(pdf["payload"])
-            w = dims["width"].to_numpy()
-            h = dims["height"].to_numpy()
-            out_w = np.minimum(w, max_dim)
-            # floor division — integer aspect scaling, reproducible in SQL
-            out_h = np.maximum((h * out_w) // w, 1).astype(np.int64)
-            sig = [
-                hashlib.md5(f"{r}|{ww}x{hh}".encode()).hexdigest()
-                for r, ww, hh in zip(pdf["media_ref"], out_w, out_h)
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "media_ref": pdf["media_ref"].values,
-                    "out_w": out_w.astype(np.int32),
-                    "out_h": out_h.astype(np.int32),
-                    "thumb_sig": sig,
-                }
+            rows = []
+            for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                if png.is_png(blob):
+                    plane = _gray_plane(png.decode_png(bytes(blob)))
+                    h, w = plane.shape
+                    out_w = min(w, max_dim)
+                    out_h = max((h * out_w) // w, 1)
+                    rs = plane[(np.arange(out_h) * h) // out_h][:, (np.arange(out_w) * w) // out_w]
+                    flat = rs.astype(np.int64).reshape(-1)
+                    sig = int((flat * (np.arange(flat.size) + 1)).sum() % _SIG_MOD)
+                    rows.append((doc_id, ref, out_w, out_h, str(sig)))
+                    continue
+                dims = decode_media_batch(pd.Series([blob]))
+                w, h = int(dims["width"][0]), int(dims["height"][0])
+                out_w = min(w, max_dim)
+                out_h = max((h * out_w) // w, 1)
+                sig = hashlib.md5(f"{ref}|{out_w}x{out_h}".encode()).hexdigest()
+                rows.append((doc_id, ref, out_w, out_h, sig))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_ref", "out_w", "out_h", "thumb_sig"]).astype(
+                {"out_w": np.int32, "out_h": np.int32}
             )
 
     return media.mapInPandas(run, MEDIA_RESIZE_SCHEMA)

@@ -1437,15 +1437,13 @@ def q_lsh_topk(spark, sf_dir):
     return S.lsh_topk(probes, emb, dim=64, k=3).orderBy("probe_id", "rank")
 
 
-def _media_sql() -> str:
-    """DuckDB twin of the synthetic media path: media_ref → md5 payload →
-    the stub decoder's deterministic (width, height, byte-feature) math."""
-    hv = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
-    bytes_sql = ", ".join(
-        f"({hv.format(p=2 * i + 1)} * 16 + {hv.format(p=2 * i + 2)}) AS b{i}" for i in range(16)
-    )
-    hsum = " + ".join(f"b{i}" for i in range(16))
-    feat = " || ',' || ".join(f"CAST(b{i} AS VARCHAR)" for i in range(8))
+_HEXB = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+
+
+def _png_dims_sql() -> str:
+    """Shared CTE tail: media refs → the synth-PNG construction arithmetic
+    (md5-seeded dims + base shade, mirroring `media.synth_png_batch`)."""
+    b = [f"({_HEXB.format(p=2 * i + 1)} * 16 + {_HEXB.format(p=2 * i + 2)}) AS b{i}" for i in range(3)]
     return f"""
     WITH o AS (SELECT o_orderkey AS k FROM orders),
     m AS (
@@ -1455,26 +1453,44 @@ def _media_sql() -> str:
       FROM o
     ),
     hx AS (SELECT doc_id, media_ref, md5(media_ref) AS h FROM m),
-    bb AS (SELECT doc_id, media_ref, {bytes_sql} FROM hx),
-    ss AS (SELECT *, {hsum} AS hs FROM bb)
-    SELECT doc_id, media_ref,
-           CAST(256 + hs % 256 AS INT) AS width,
-           CAST(256 + (hs * 7) % 256 AS INT) AS height,
-           {feat} AS feat_sig
-    FROM ss ORDER BY doc_id
+    bb AS (SELECT doc_id, media_ref, {", ".join(b)} FROM hx),
+    dims AS (SELECT doc_id, media_ref, 1 + b0 % 13 AS w, 1 + b1 % 11 AS h2, b2 AS base FROM bb)
     """
+
+
+def _media_sql() -> str:
+    """DuckDB twin of the REAL PNG decode path: the engine decodes actual
+    pixels; the twin predicts them analytically from the deterministic tile
+    construction — px[r][c] = (base + 7r + 3c) % 256, feature = first 8
+    luminance pixels (wrapped)."""
+    feat = " || ',' || ".join(
+        f"CAST((base + 7 * (({i} % (w * h2)) // w) + 3 * (({i} % (w * h2)) % w)) % 256 AS VARCHAR)"
+        for i in range(8)
+    )
+    return (
+        _png_dims_sql()
+        + f"""
+    SELECT doc_id, media_ref,
+           CAST(w AS INT) AS width,
+           CAST(h2 AS INT) AS height,
+           {feat} AS feat_sig
+    FROM dims ORDER BY doc_id
+    """
+    )
 
 
 @register("q_media_features", _media_sql())
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: media spans → payload → mapInPandas feature
-    extraction (stub decoder; schema/batch shape are the real contract).
-    The float32 feature array is emitted as its exact source-byte signature
-    (round(v*255) recovers the payload byte) so the oracle is hash-exact."""
+    """Multimodal decode: media spans → synthesized VALID PNG tiles
+    (`media.synth_png_batch`, per-row filter types cycling 0-4) →
+    mapInPandas feature extraction running the real pure-python PNG decoder
+    (`functions/png.py`).  width/height come from decoded pixels; the
+    float32 feature is the first 8 luminance pixels, emitted as its exact
+    byte signature (round(v*255)) so the oracle is hash-exact."""
     docs = synth.documents_spans(spark, sf_dir)
     feats = SP.spans_to_features(docs)
     media = feats.select("doc_id", F.explode("media_refs").alias("media_ref")).withColumn(
-        "payload", M.synth_payload("media_ref")
+        "payload", M.synth_png_payload("media_ref")
     )
     out = M.extract_media_features(media)
     feat_sig = F.concat_ws(
@@ -2430,29 +2446,45 @@ def _media_df(spark, sf_dir):
     )
 
 
+def _media_png_df(spark, sf_dir):
+    docs = synth.documents_spans(spark, sf_dir)
+    feats = SP.spans_to_features(docs)
+    return feats.select("doc_id", F.explode("media_refs").alias("media_ref")).withColumn(
+        "payload", M.synth_png_payload("media_ref")
+    )
+
+
 @register(
     "q_media_resize",
-    _media_base_sql()
+    _png_dims_sql()
     + """
-    , dims AS (
-      SELECT doc_id, media_ref,
-             CAST(256 + hs % 256 AS BIGINT) AS w,
-             CAST(256 + (hs * 7) % 256 AS BIGINT) AS h2
-      FROM ss
+    , rd AS (
+      SELECT doc_id, media_ref, w, h2, base,
+             least(w, 8) AS out_w,
+             greatest((h2 * least(w, 8)) // w, 1) AS out_h
+      FROM dims
+    ),
+    px AS (
+      SELECT doc_id, media_ref, out_w, out_h,
+             ((base + 7 * ((r.i * h2) // out_h) + 3 * ((c.i * w) // out_w)) % 256)
+               * (r.i * out_w + c.i + 1) AS term
+      FROM rd
+      JOIN (SELECT unnest(range(0, 11)) AS i) r ON r.i < out_h
+      JOIN (SELECT unnest(range(0, 13)) AS i) c ON c.i < out_w
     )
     SELECT doc_id, media_ref,
-           CAST(least(w, 64) AS INT) AS out_w,
-           CAST(greatest((h2 * least(w, 64)) // w, 1) AS INT) AS out_h,
-           md5(media_ref || '|' || CAST(least(w, 64) AS VARCHAR) || 'x'
-               || CAST(greatest((h2 * least(w, 64)) // w, 1) AS VARCHAR)) AS thumb_sig
-    FROM dims ORDER BY doc_id
+           CAST(out_w AS INT) AS out_w,
+           CAST(out_h AS INT) AS out_h,
+           CAST(SUM(term) % 1000000007 AS VARCHAR) AS thumb_sig
+    FROM px GROUP BY doc_id, media_ref, out_w, out_h ORDER BY doc_id
     """,
 )
 def q_media_resize(spark, sf_dir):
-    """Multimodal resize stage (mapInPandas, stub resample kernel): output
-    dims follow aspect-preserving integer math; thumb_sig stands in for the
-    resized bytes — hash-checked end to end."""
-    return M.resize_media(_media_df(spark, sf_dir), max_dim=64).orderBy("doc_id")
+    """Multimodal resize over real pixels: synth PNG tiles → decode →
+    aspect-preserving integer dims → nearest-neighbor downsample; thumb_sig
+    is the position-weighted polynomial hash of the RESIZED pixel values,
+    so the oracle checks the actual resample output, not just dims."""
+    return M.resize_media(_media_png_df(spark, sf_dir), max_dim=8).orderBy("doc_id")
 
 
 @register(
