@@ -108,6 +108,30 @@ def cell_from_zxy(z: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return (np.asarray(z, dtype=np.int64) << _Z_SHIFT) | morton_encode(x, y)
 
 
+def cell_id_col(lon, lat, z: int):
+    """Pure-Column twin of :func:`cell_id` for a constant (small) zoom —
+    the PARTITION-COLUMN path: computing the coarse cell JVM-side at write
+    time lets ``partitionBy(cell)`` corpora prune files under an AOI cell
+    predicate.  Unrolled 2·z morton bits (linear in z; coarse zooms only —
+    the row-level index stays on the numpy kernel)."""
+    from pyspark.sql import functions as F
+
+    n = 1 << z
+    lat_c = F.greatest(F.least(lat, F.lit(85.05112878)), F.lit(-85.05112878))
+    x = F.floor((lon + 180.0) / 360.0 * n)
+    y = F.floor((1.0 - F.asinh(F.tan(F.radians(lat_c))) / float(np.pi)) / 2.0 * n)
+    x = F.greatest(F.least(x, F.lit(n - 1)), F.lit(0)).cast("long")
+    y = F.greatest(F.least(y, F.lit(n - 1)), F.lit(0)).cast("long")
+    morton = F.lit(0).cast("long")
+    for i in range(z):
+        morton = (
+            morton
+            .bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return F.lit(z << _Z_SHIFT).cast("long").bitwiseOR(morton)
+
+
 def parent_cell(cell: np.ndarray, parent_z: int) -> np.ndarray:
     """Coarsen a cell to ``parent_z`` (a pure bit shift on the morton code)."""
     cell = np.asarray(cell, dtype=np.int64)
