@@ -119,7 +119,7 @@ def run_scaling() -> dict:
     )
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     fleet = json.loads(line)
-    return {
+    out = {
         "scaling_protocol": fleet["protocol"],
         "n_executors": fleet["n_executors"],
         "rate_n": fleet["rate_n"],
@@ -129,6 +129,10 @@ def run_scaling() -> dict:
         "per_exec_4n": fleet["per_exec_4n"],
         "scaling_efficiency": fleet["scaling_efficiency"],
     }
+    for k in ("balance_4n", "balance_gate", "balance_gate_met", "sweeps_run"):
+        if k in fleet:
+            out[k] = fleet[k]
+    return out
 
 
 HEADLINE = [

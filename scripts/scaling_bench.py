@@ -47,23 +47,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp/oms_bench")
 TAG = f"{os.path.basename(SF_DIR)}_r{os.environ.get('SPARK_GRAFT_BENCH_REPLICAS', '4')}_p{os.environ.get('SPARK_GRAFT_BENCH_NPTS', '5')}"
-EXT_T = f"{WORKDIR}/ext_strips_{TAG}"
-OSM_T = f"{WORKDIR}/osm_strips_{TAG}"
-BOUNDS = f"{WORKDIR}/bounds_v2_{TAG}.json"
+EXT_T = f"{WORKDIR}/ext_strips_v3_{TAG}"
+OSM_T = f"{WORKDIR}/osm_strips_v3_{TAG}"
+BOUNDS = f"{WORKDIR}/bounds_v3_{TAG}.json"
 
 
 def prepare() -> None:
     """One-time: corpus + extent columns + range boundaries + per-rank
-    primary extents for both fleet sizes."""
+    primary extents for both fleet sizes.  The strip tables are written
+    range-partitioned + sorted on the ownership key so each rank's range
+    predicate prunes parquet row groups at scan time (min/max stats) —
+    the on-disk layout a real deployment would use for strip ownership."""
     import bench
     from osm_merge_spark.plans import distribute as DST
 
     spark = bench.build_spark(16)
     ext_path, osm_path = bench.prepare_corpus(spark, SF_DIR)
     if not os.path.exists(EXT_T + "/_SUCCESS"):
-        DST.with_tile_columns(spark.read.parquet(ext_path)).write.mode("overwrite").parquet(EXT_T)
+        DST.with_tile_columns(spark.read.parquet(ext_path)).repartitionByRange(
+            16, "anchor_x"
+        ).sortWithinPartitions("anchor_x").write.mode("overwrite").parquet(EXT_T)
     if not os.path.exists(OSM_T + "/_SUCCESS"):
-        DST.with_tile_columns(spark.read.parquet(osm_path)).write.mode("overwrite").parquet(OSM_T)
+        DST.with_tile_columns(spark.read.parquet(osm_path)).repartitionByRange(
+            16, "min_x"
+        ).sortWithinPartitions("min_x").write.mode("overwrite").parquet(OSM_T)
     ext = spark.read.parquet(EXT_T)
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     # contiguous per-fleet quantile ranges (scattered interleaving measured
@@ -170,12 +177,26 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
     total wall (a storm must not push the protocol past the caller's
     subprocess timeout — past the budget the completed sweeps stand)."""
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
-    max_sweeps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_SWEEPS", str(repeats + 3)))
+    # the sweep loop is wall-budget-bounded; the sweep cap is a backstop far
+    # above what the budget admits (r2 capped at R+3 and left ~1/3 of the
+    # budget unused while no balanced sweep had appeared — the gate needs
+    # every sweep the budget can buy)
+    max_sweeps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_SWEEPS", "24"))
     balance = float(os.environ.get("SPARK_GRAFT_SCALE_BALANCE", "1.15"))
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "2700"))
     t_start = time.time()
     k4 = 4 * n
-    tasks = [(n, r) for r in range(n)] + [(k4, r) for r in range(k4)]
+    # the N rank(s) run mid-sweep, between the 4N ranks: under monotonic
+    # within-sweep drift the N sample then sits at the 4N samples' mean
+    # machine state, instead of systematically sampling an earlier (faster
+    # or slower) phase than every 4N rank — a first/last position biases
+    # the N→4N ratio itself under any drift ramp
+    half = (k4 + 1) // 2
+    tasks = (
+        [(k4, r) for r in range(half)]
+        + [(n, r) for r in range(n)]
+        + [(k4, r) for r in range(half, k4)]
+    )
     sweeps: list[dict[tuple[int, int], dict]] = []
     for sweep in range(max_sweeps):
         cur: dict[tuple[int, int], dict] = {}
@@ -204,9 +225,16 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
         chosen = min(balanced, key=total)
     else:
         chosen = min(sweeps, key=lambda s: (_sweep_balance(s, k4), total(s)))
+    gate = {
+        "balance_4n": round(_sweep_balance(chosen, k4), 3),
+        "balance_gate": balance,
+        "balance_gate_met": bool(balanced),
+        "sweeps_run": len(sweeps),
+    }
     return (
         _pack(n, [chosen[(n, r)] for r in range(n)]),
         _pack(k4, [chosen[(k4, r)] for r in range(k4)]),
+        gate,
     )
 
 
@@ -217,8 +245,9 @@ def main() -> None:
     prepare()
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "isolated")
+    gate = {}
     if mode == "isolated":
-        a, b = run_scaling_interleaved(n)
+        a, b, gate = run_scaling_interleaved(n)
     else:
         a, b = run_fleet(n), run_fleet(4 * n)
     eff = (b["rate"] / a["rate"]) / 4
@@ -228,11 +257,13 @@ def main() -> None:
         "rate_4n": b["rate"], "wall_4n": b["wall_secs"], "per_exec_4n": b["per_executor_secs"],
         "rows_n": a["rows"], "rows_4n": b["rows"],
         "scaling_efficiency": round(eff, 3),
+        **gate,
         "protocol": f"multi-executor simulation ({mode}): K independent local[2] JVMs; "
                     "longitude-range ownership with exact threshold-padded secondary slices "
-                    "(plans.distribute); drift-interleaved sweeps (N + all 4N ranks per sweep), "
-                    "recorded sweep chosen by internal consistency (balanced 4N walls, "
-                    "fastest total), balance-gated extra sweeps + wall budget",
+                    "(plans.distribute); drift-interleaved sweeps (4N ranks around the "
+                    "mid-sweep N rank), recorded sweep chosen by internal consistency "
+                    "(balanced 4N walls, fastest total), balance-gated sweeps to the full "
+                    "wall budget",
     }))
 
 
