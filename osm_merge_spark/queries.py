@@ -1590,6 +1590,49 @@ FROM ranked WHERE rn = 1 ORDER BY poi_key
 """
 
 
+_ODK_XML_SQL = f"""
+WITH pts AS ({CUST_PT_SQL.strip()})
+SELECT CAST(c_custkey AS VARCHAR) AS ref,
+       round(lon, 4) AS lon_r,
+       round(lat, 4) AS lat_r,
+       'cuisine=style_' || CAST(c_custkey % 7 AS VARCHAR)
+         || '|name=POI ' || CAST(c_custkey AS VARCHAR)
+         || '|ref=' || CAST(c_custkey AS VARCHAR) AS tag_sig
+FROM pts ORDER BY c_custkey
+"""
+
+
+@register("q_odk_xml", _ODK_XML_SQL)
+def q_odk_xml(spark, sf_dir):
+    """S5 XML variant end-to-end: per-customer ODK XML Instance documents
+    (geopoint value lat-first, nested groups, metadata noise) through the
+    Arrow-batched ElementTree kernel (`odk.odk_xml_to_features`).  The xid
+    field surfaces as the ``ref`` tag (convertEntry rename) and carries the
+    row key through the parse."""
+    from .sources import odk as ODK
+
+    pts = customer_points(spark, sf_dir)
+    xml = F.format_string(
+        "<data><meta><instanceID>uuid:%d</instanceID></meta>"
+        "<all><location><geopoint>%.4f %.4f 2500.0 4.0</geopoint></location>"
+        "<poi><name>POI %d</name><cafe_type>style_%d</cafe_type><xid>%d</xid></poi></all>"
+        "<deviceid>d</deviceid></data>",
+        F.col("c_custkey"),
+        F.col("lat"),
+        F.col("lon"),
+        F.col("c_custkey"),
+        F.pmod(F.col("c_custkey"), F.lit(7)),
+        F.col("c_custkey"),
+    )
+    feats = ODK.odk_xml_to_features(pts.select(xml.alias("value")))
+    return feats.select(
+        F.element_at("tags", "ref").alias("ref"),
+        F.round("lon", 4).alias("lon_r"),
+        F.round("lat", 4).alias("lat_r"),
+        _tag_sig(F.col("tags")).alias("tag_sig"),
+    ).orderBy(F.col("ref").cast("long"))
+
+
 @register("q_odk_poi_conflate", _ODK_SQL)
 def q_odk_poi_conflate(spark, sf_dir):
     """S5 → J5: ODK-shaped field submissions (hierarchical column names,

@@ -17,17 +17,18 @@ efficiency *understates* the cluster's.
 Measurement protocol (this box drifts in minutes-long phases, up to 2× —
 BENCH/BASELINE.md controls):
 - isolated mode: each executor JVM runs ALONE, cluster wall = max executor;
-- drift-interleaved sweeps: one sweep = the N rank plus every 4N rank
-  back-to-back, repeated R times (R = SPARK_GRAFT_SCALE_REPEATS, default 3)
-  so every task samples every machine phase — consecutive per-rank repeats
-  would all land in one phase, and N vs 4N measured in disjoint stretches
-  would corrupt the ratio itself;
-- the recorded sweep is chosen by internal consistency (balanced 4N walls;
-  among balanced sweeps, fastest total wall) — never by the efficiency
-  number itself;
+- drift-interleaved sweeps: one sweep = two bookend samples of the N rank
+  around the full 4N block (N wall = bookend mean — time-centered under a
+  within-sweep drift ramp), repeated R times (R = SPARK_GRAFT_SCALE_REPEATS,
+  default 3) so every task samples every machine phase — consecutive
+  per-rank repeats would all land in one phase, and N vs 4N measured in
+  disjoint stretches would corrupt the ratio itself;
+- the recorded sweep is chosen by internal consistency (balanced 4N walls
+  AND agreeing N bookends; among consistent sweeps, fastest total wall) —
+  never by the efficiency number itself;
 - balance gate: while no sweep balances within SPARK_GRAFT_SCALE_BALANCE
-  (default 1.15), extra sweeps run, up to SPARK_GRAFT_SCALE_MAX_SWEEPS
-  (default R+3), bounded by SPARK_GRAFT_SCALE_BUDGET_S wall budget.
+  (default 1.15), extra sweeps run to the full SPARK_GRAFT_SCALE_BUDGET_S
+  wall budget (SPARK_GRAFT_SCALE_MAX_SWEEPS is a far-off backstop).
 
 Usage:
   python scripts/scaling_bench.py                 # orchestrate N=1 vs 4N=4
@@ -143,9 +144,26 @@ def _pack(k: int, res: list[dict]) -> dict:
             "rate": round(rows / wall, 1), "per_executor_secs": [x["secs"] for x in res]}
 
 
+def _n_secs(sweep: dict, n: int, r: int) -> float:
+    """Per-N-rank wall: mean of the sweep's two bookend samples — the
+    time-centered estimate of the N wall under any within-sweep drift ramp
+    (the 4N block runs between them)."""
+    return (sweep[(n, r, 0)]["secs"] + sweep[(n, r, 1)]["secs"]) / 2.0
+
+
 def _sweep_balance(sweep: dict, k4: int) -> float:
-    secs4 = [sweep[(k4, r)]["secs"] for r in range(k4)]
-    return max(secs4) / max(min(secs4), 1e-9)
+    """Internal-consistency score: worst of (a) 4N wall spread and (b) each
+    N rank's bookend-pair disagreement.  (b) catches the failure mode where
+    the machine phase flips between the N samples and the 4N block — the 4N
+    walls can balance perfectly while the N estimate is garbage (observed:
+    a recorded eff of 1.089, superlinear, from exactly that)."""
+    n = sweep["__n"]
+    secs4 = [sweep[(4 * n, r, 0)]["secs"] for r in range(k4)]
+    bal = max(secs4) / max(min(secs4), 1e-9)
+    for r in range(n):
+        a, b = sweep[(n, r, 0)]["secs"], sweep[(n, r, 1)]["secs"]
+        bal = max(bal, max(a, b) / max(min(a, b), 1e-9))
+    return bal
 
 
 def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
@@ -183,26 +201,26 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
     # every sweep the budget can buy)
     max_sweeps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_SWEEPS", "24"))
     balance = float(os.environ.get("SPARK_GRAFT_SCALE_BALANCE", "1.15"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "2700"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "3600"))
     t_start = time.time()
     k4 = 4 * n
-    # the N rank(s) run mid-sweep, between the 4N ranks: under monotonic
-    # within-sweep drift the N sample then sits at the 4N samples' mean
-    # machine state, instead of systematically sampling an earlier (faster
-    # or slower) phase than every 4N rank — a first/last position biases
-    # the N→4N ratio itself under any drift ramp
-    half = (k4 + 1) // 2
+    # each sweep BOOKENDS the 4N block with two samples of every N rank:
+    # the per-rank N wall is the mean of its pair (time-centered under any
+    # within-sweep drift ramp), and the pair's disagreement feeds the
+    # balance gate — a single N sample, wherever placed, can silently
+    # sample a different machine phase than the 4N ranks and corrupt the
+    # ratio in either direction
     tasks = (
-        [(k4, r) for r in range(half)]
-        + [(n, r) for r in range(n)]
-        + [(k4, r) for r in range(half, k4)]
+        [(n, r, 0) for r in range(n)]
+        + [(k4, r, 0) for r in range(k4)]
+        + [(n, r, 1) for r in range(n)]
     )
-    sweeps: list[dict[tuple[int, int], dict]] = []
+    sweeps: list[dict] = []
     for sweep in range(max_sweeps):
-        cur: dict[tuple[int, int], dict] = {}
+        cur: dict = {"__n": n}
         aborted = False
-        for k, r in tasks:
-            cur[(k, r)] = _run_once(r, k)
+        for k, r, i in tasks:
+            cur[(k, r, i)] = _run_once(r, k)
             # mid-sweep budget break: discard the partial sweep, the
             # completed ones stand (>=2 exist by construction)
             if sweep >= 2 and time.time() - t_start > budget_s:
@@ -216,7 +234,7 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
         if sweep + 1 >= 2 and time.time() - t_start > budget_s:
             break
     def total(s):
-        return sum(run["secs"] for run in s.values())
+        return sum(run["secs"] for key, run in s.items() if key != "__n")
 
     balanced = [s for s in sweeps if _sweep_balance(s, k4) <= balance]
     if balanced:
@@ -230,10 +248,16 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
         "balance_gate": balance,
         "balance_gate_met": bool(balanced),
         "sweeps_run": len(sweeps),
+        "n_bookend_secs": [
+            [chosen[(n, r, 0)]["secs"], chosen[(n, r, 1)]["secs"]] for r in range(n)
+        ],
     }
+    n_res = [
+        {**chosen[(n, r, 0)], "secs": round(_n_secs(chosen, n, r), 2)} for r in range(n)
+    ]
     return (
-        _pack(n, [chosen[(n, r)] for r in range(n)]),
-        _pack(k4, [chosen[(k4, r)] for r in range(k4)]),
+        _pack(n, n_res),
+        _pack(k4, [chosen[(k4, r, 0)] for r in range(k4)]),
         gate,
     )
 
@@ -260,10 +284,10 @@ def main() -> None:
         **gate,
         "protocol": f"multi-executor simulation ({mode}): K independent local[2] JVMs; "
                     "longitude-range ownership with exact threshold-padded secondary slices "
-                    "(plans.distribute); drift-interleaved sweeps (4N ranks around the "
-                    "mid-sweep N rank), recorded sweep chosen by internal consistency "
-                    "(balanced 4N walls, fastest total), balance-gated sweeps to the full "
-                    "wall budget",
+                    "(plans.distribute); drift-interleaved sweeps (N bookends around the 4N "
+                    "block, N wall = bookend mean), recorded sweep chosen by internal "
+                    "consistency (balanced 4N walls AND agreeing N bookends, fastest "
+                    "total), balance-gated sweeps to the full wall budget",
     }))
 
 

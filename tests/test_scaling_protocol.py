@@ -1,10 +1,10 @@
 """Protocol logic of scripts/scaling_bench.py (no Spark: _run_once stubbed).
 
 The measurement rules themselves are load-bearing — the recorded N→4N
-artifact is the north-rule claim of record — so the sweep interleaving
-(4N ranks around the mid-sweep N rank), per-sweep consistency selection,
-and the balance gate + budget are pinned here against simulated drift
-traces."""
+artifact is the north-rule claim of record — so the sweep shape (N bookends
+around the 4N block, N wall = bookend mean), per-sweep consistency
+selection (4N balance AND N-pair agreement), and the balance gate + budget
+are pinned here against simulated drift traces."""
 
 import importlib.util
 
@@ -44,25 +44,26 @@ def _run(monkeypatch, drift, **env):
 
 def test_interleaving_order(monkeypatch):
     box, a, b, gate = _run(monkeypatch, lambda i: 1.0)
-    # each sweep centers the N rank between the 4N ranks, so monotonic
-    # within-sweep drift puts the N sample at the 4N samples' mean state
-    assert box.calls[:5] == [(4, 0), (4, 1), (1, 0), (4, 2), (4, 3)]
-    assert box.calls[5:10] == box.calls[:5]
+    # each sweep bookends the 4N block with two N samples; the N wall is
+    # their mean — time-centered under any within-sweep drift ramp
+    assert box.calls[:6] == [(1, 0), (4, 0), (4, 1), (4, 2), (4, 3), (1, 0)]
+    assert box.calls[6:12] == box.calls[:6]
     assert a["executors"] == 1 and b["executors"] == 4
     assert a["rows"] == 100_000 and b["rows"] == 100_000
     assert gate["balance_gate_met"] is True and gate["sweeps_run"] == 3
+    assert gate["n_bookend_secs"] == [[60.0, 60.0]]
 
 
 def test_stops_after_repeats_when_stable(monkeypatch):
     box, a, b, gate = _run(monkeypatch, lambda i: 1.0, SPARK_GRAFT_SCALE_REPEATS=3)
-    assert len(box.calls) == 15  # 3 sweeps × 5 tasks, no extras
+    assert len(box.calls) == 18  # 3 sweeps × 6 tasks, no extras
     assert b["per_executor_secs"] == [15.0, 15.5, 15.2, 15.8]
 
 
 def test_slow_sweep_not_selected(monkeypatch):
-    # sweep 2 (calls 5..9) lands in a 2x-slow phase: balances tie (uniform
+    # sweep 2 (calls 6..11) lands in a 2x-slow phase: balances tie (uniform
     # drift cancels), the lowest-total-wall sweep is recorded
-    box, a, b, gate = _run(monkeypatch, lambda i: 2.0 if 5 <= i < 10 else 1.0)
+    box, a, b, gate = _run(monkeypatch, lambda i: 2.0 if 6 <= i < 12 else 1.0)
     assert a["wall_secs"] == 60.0
     assert b["wall_secs"] == 15.8
 
@@ -77,13 +78,31 @@ def test_uniform_storm_preserves_ratio(monkeypatch):
 
 
 def test_extra_sweep_until_balanced(monkeypatch):
-    # rank 2 alone runs 1.5x slow for the first three sweeps (unbalanced
+    # 4N rank 2 alone runs 1.5x slow for the first three sweeps (unbalanced
     # walls = internal drift) → extra sweep runs; the clean sweep 4 is the
     # one recorded
-    box, a, b, gate = _run(monkeypatch, lambda i: 1.5 if (i % 5 == 3 and i < 15) else 1.0)
-    assert len(box.calls) == 20
+    box, a, b, gate = _run(monkeypatch, lambda i: 1.5 if (i % 6 == 3 and i < 18) else 1.0)
+    assert len(box.calls) == 24
     assert b["per_executor_secs"] == [15.0, 15.5, 15.2, 15.8]
     assert gate["balance_gate_met"] is True
+
+
+def test_n_bookend_disagreement_rejects_sweep(monkeypatch):
+    # the 4N walls are perfectly balanced, but the machine phase flips
+    # before the trailing N bookend in the first three sweeps — the N-pair
+    # gate must reject those sweeps and keep sweeping until a clean one
+    box, a, b, gate = _run(monkeypatch, lambda i: 1.6 if (i % 6 == 5 and i < 18) else 1.0)
+    assert len(box.calls) == 24
+    assert gate["balance_gate_met"] is True
+    assert a["per_executor_secs"] == [60.0]  # clean sweep: mean of 60/60
+
+
+def test_n_wall_is_bookend_mean(monkeypatch):
+    # a linear within-sweep ramp: every call k% slower than the previous —
+    # the N estimate must be the bookend mean, not either endpoint
+    box, a, b, gate = _run(monkeypatch, lambda i: 1.0 + 0.01 * (i % 6))
+    lead, trail = 60.0 * 1.0, 60.0 * 1.05
+    assert a["per_executor_secs"] == [round((lead + trail) / 2, 2)]
 
 
 def test_sweep_cap_bounds_runs(monkeypatch):
@@ -91,9 +110,9 @@ def test_sweep_cap_bounds_runs(monkeypatch):
     # sweep cap must stop it, recording the least-bad sweep with the gate
     # marked unmet (the recorded JSON refuses to present it as balanced)
     box, a, b, gate = _run(
-        monkeypatch, lambda i: 1.5 if i % 5 == 3 else 1.0, SPARK_GRAFT_SCALE_MAX_SWEEPS=6
+        monkeypatch, lambda i: 1.5 if i % 6 == 3 else 1.0, SPARK_GRAFT_SCALE_MAX_SWEEPS=6
     )
-    assert len(box.calls) == 30
+    assert len(box.calls) == 36
     assert b["per_executor_secs"][2] == pytest.approx(15.2 * 1.5)
     assert gate["balance_gate_met"] is False
     assert gate["balance_4n"] == pytest.approx(1.5 * 15.2 / 15.0, abs=0.01)
@@ -102,8 +121,8 @@ def test_sweep_cap_bounds_runs(monkeypatch):
 def test_unbalanced_runs_to_full_budget(monkeypatch):
     # while no sweep balances, the loop keeps buying sweeps all the way to
     # the (default, generous) cap — r2 stopped at R+3 with budget to spare
-    box, a, b, gate = _run(monkeypatch, lambda i: 1.5 if i % 5 == 3 else 1.0)
-    assert len(box.calls) == 24 * 5
+    box, a, b, gate = _run(monkeypatch, lambda i: 1.5 if i % 6 == 3 else 1.0)
+    assert len(box.calls) == 24 * 6
     assert gate["sweeps_run"] == 24 and gate["balance_gate_met"] is False
 
 
@@ -118,6 +137,6 @@ def test_wall_budget_bounds_sweeps(monkeypatch):
     # a persistent imbalance would run to the 6-sweep cap; an exhausted
     # wall budget stops after the 2-sweep floor with the sweeps in hand
     box, a, b, gate = _run(
-        monkeypatch, lambda i: 1.5 if i % 5 == 3 else 1.0, SPARK_GRAFT_SCALE_BUDGET_S=0
+        monkeypatch, lambda i: 1.5 if i % 6 == 3 else 1.0, SPARK_GRAFT_SCALE_BUDGET_S=0
     )
-    assert len(box.calls) == 10
+    assert len(box.calls) == 12
