@@ -686,6 +686,66 @@ def polygon_area_m2(offsets: np.ndarray, flat_xy: np.ndarray) -> np.ndarray:
     return np.abs(out) / 2.0
 
 
+def polygon_centroid(offsets: np.ndarray, flat_xy: np.ndarray) -> np.ndarray:
+    """(n, 2) planar (degree-space) shoelace centroid per ring — shapely's
+    ``centroid`` operates in coordinate space, so this matches the
+    reference's polygon→waypoint collapse (`fieldwork/osm2favorities.py:89-92`).
+
+    Rings may be open or explicitly closed (the closing segment's cross
+    product is 0, so double-closing is harmless).  Rows with <3 points or
+    ~zero area fall back to the vertex mean (a POINT centroids to itself);
+    empty rows → NaN.
+    """
+    n = len(offsets) - 1
+    out = np.full((n, 2), np.nan)
+    cnt = np.diff(offsets)
+    if flat_xy.shape[0] == 0:
+        return out
+    row = np.repeat(np.arange(n), cnt)
+    # vertex-mean fallback (points, segments, degenerate rings)
+    sx = np.zeros(n)
+    sy = np.zeros(n)
+    np.add.at(sx, row, flat_xy[:, 0])
+    np.add.at(sy, row, flat_xy[:, 1])
+    nz = cnt > 0
+    out[nz, 0] = sx[nz] / cnt[nz]
+    out[nz, 1] = sy[nz] / cnt[nz]
+    # area-weighted centroid over consecutive-vertex cross products.
+    # Coordinates are translated to each ring's FIRST VERTEX first: for a
+    # small ring at large coordinates (a ~0.002° square near lon −109) the
+    # untranslated cross terms are ~4000 canceling to ~1e-5, and the lost
+    # precision lands in the centroid at ~1e-6 deg — visible at 6 dp.
+    firsts0 = offsets[:-1]
+    origin = flat_xy[np.minimum(firsts0[row], len(flat_xy) - 1)] if len(flat_xy) else flat_xy
+    loc = flat_xy - origin
+    x1, y1 = loc[:-1, 0], loc[:-1, 1]
+    x2, y2 = loc[1:, 0], loc[1:, 1]
+    valid = row[:-1] == row[1:]
+    cross = x1 * y2 - x2 * y1
+    area2 = np.zeros(n)
+    cx = np.zeros(n)
+    cy = np.zeros(n)
+    np.add.at(area2, row[:-1][valid], cross[valid])
+    np.add.at(cx, row[:-1][valid], ((x1 + x2) * cross)[valid])
+    np.add.at(cy, row[:-1][valid], ((y1 + y2) * cross)[valid])
+    # close ring: last→first per row (first vertex is the local origin, so
+    # fx = fy = 0 and the closing cross term simplifies — kept explicit)
+    firsts, lasts = offsets[:-1], offsets[1:] - 1
+    ok = cnt >= 3
+    fx, fy = loc[firsts[ok], 0], loc[firsts[ok], 1]
+    lx, ly = loc[lasts[ok], 0], loc[lasts[ok], 1]
+    c2 = lx * fy - fx * ly
+    area2[ok] += c2
+    cx[ok] += (lx + fx) * c2
+    cy[ok] += (ly + fy) * c2
+    good = ok & (np.abs(area2) > 1e-30)
+    ox = flat_xy[firsts0[good], 0]
+    oy = flat_xy[firsts0[good], 1]
+    out[good, 0] = ox + cx[good] / (3 * area2[good])
+    out[good, 1] = oy + cy[good] / (3 * area2[good])
+    return out
+
+
 def rect_overlap_area(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Axis-aligned bbox intersection area (deg²) for paired (n,4) boxes."""
     w = np.minimum(a[:, 2], b[:, 2]) - np.maximum(a[:, 0], b[:, 0])

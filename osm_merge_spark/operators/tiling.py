@@ -246,9 +246,12 @@ def polygon_area_m2_padded(P: np.ndarray, cnt: np.ndarray) -> np.ndarray:
     polygon's bbox-mean latitude, sequential slot-order summation (the SQL
     twin folds the same term order)."""
     n = P.shape[0]
-    with np.errstate(invalid="ignore"):
-        ref_lat = (np.nanmin(P[:, :, 1], axis=1) + np.nanmax(P[:, :, 1], axis=1)) / 2.0
-    ref_lat = np.where(np.isfinite(ref_lat), ref_lat, 0.0)
+    # nanmin/nanmax WARN on all-NaN rows (fully-clipped polygons) even under
+    # errstate — restrict them to rows that have at least one vertex
+    has = np.isfinite(P[:, :, 1]).any(axis=1)
+    ref_lat = np.zeros(n)
+    if has.any():
+        ref_lat[has] = (np.nanmin(P[has, :, 1], axis=1) + np.nanmax(P[has, :, 1], axis=1)) / 2.0
     sx = 111_320.0 * np.cos(np.radians(ref_lat))
     acc = np.zeros(n)
     rows = np.arange(n)

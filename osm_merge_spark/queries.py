@@ -2820,3 +2820,93 @@ def q_corpus_prep(spark, sf_dir):
         )
         .orderBy("lang", "len_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# K8 — OsmAnd favorites GPX waypoint mapping (osm2favorities.py)
+# ---------------------------------------------------------------------------
+
+_GPX_SQL = f"""
+WITH pts AS ({CUST_PT_SQL.strip()}),
+feats AS (
+  SELECT p.c_custkey, c.c_name, p.lon, p.lat,
+         p.c_custkey % 4 AS m
+  FROM pts p JOIN customer c ON p.c_custkey = c.c_custkey
+)
+SELECT c_custkey,
+  round(lon, 6) AS lon_w,
+  round(lat, 6) AS lat_w,
+  c_name AS name,
+  CASE m WHEN 0 THEN '<p>tourism = camp site<br></p>'
+         WHEN 1 THEN '<p>tourism = picnic site<br></p>'
+         WHEN 2 THEN '<p>highway = trailhead<br></p>'
+         ELSE '<p>amenity = parking<br></p>' END AS description,
+  CASE WHEN m = 0 THEN 'tourism_camp_site'
+       WHEN m = 2 THEN 'special_trekking'
+       WHEN m = 3 THEN 'amenity_parking' END AS icon,
+  CASE WHEN m = 0 THEN '#ff5020'
+       WHEN m = 2 THEN '#a71de1' END AS color
+FROM feats ORDER BY c_custkey
+"""
+
+
+@register("q_gpx_waypoints", _GPX_SQL)
+def q_gpx_waypoints(spark, sf_dir):
+    """K8: the OsmAnd-favorites waypoint mapping
+    (`fieldwork/osm2favorities.py:87-134`): POIs derived from the customer
+    table (¼ camp sites, ¼ picnic sites, ¼ trailheads, ¼ parking; every
+    5th feature a square POLYGON that must collapse to its shoelace
+    centroid, the rest POINTs), run through
+    :func:`osm_merge_spark.sources.gpx.favorite_waypoints`.  Exercises the
+    unreachable-picnic icon quirk (picnic sites get NO icon), the
+    color-table lookup, and the polygon→centroid branch; the oracle emits
+    the raw lon/lat because the centroid of the symmetric square IS the
+    point (to 6 dp)."""
+    pts = customer_points(spark, sf_dir)
+    names = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    m = F.pmod(F.col("c_custkey"), F.lit(4))
+    tag_val = (
+        F.when(m == 0, F.array(F.lit("tourism"), F.lit("camp site")))
+        .when(m == 1, F.array(F.lit("tourism"), F.lit("picnic site")))
+        .when(m == 2, F.array(F.lit("highway"), F.lit("trailhead")))
+        .otherwise(F.array(F.lit("amenity"), F.lit("parking")))
+    )
+    lon_s = F.col("lon").cast("string")
+    lat_s = F.col("lat").cast("string")
+    d = 0.001
+    point_wkt = F.concat(F.lit("POINT("), lon_s, F.lit(" "), lat_s, F.lit(")"))
+    x0 = (F.col("lon") - d).cast("string")
+    x1 = (F.col("lon") + d).cast("string")
+    y0 = (F.col("lat") - d).cast("string")
+    y1 = (F.col("lat") + d).cast("string")
+    sp = F.lit(" ")
+    cm = F.lit(",")
+    poly_wkt = F.concat(
+        F.lit("POLYGON(("),
+        x0, sp, y0, cm, x1, sp, y0, cm, x1, sp, y1, cm, x0, sp, y1, cm, x0, sp, y0,
+        F.lit("))"),
+    )
+    feats = (
+        pts.join(names, "c_custkey")
+        .withColumn(
+            "tags",
+            F.map_from_arrays(
+                F.concat(F.array(F.lit("name")), F.array(tag_val.getItem(0))),
+                F.concat(F.array(F.col("c_name")), F.array(tag_val.getItem(1))),
+            ),
+        )
+        .withColumn("geom", F.when(F.pmod(F.col("c_custkey"), F.lit(5)) == 0, poly_wkt).otherwise(point_wkt))
+        .select("c_custkey", "geom", "tags")
+    )
+    from .sources import gpx as GX
+
+    out = GX.favorite_waypoints(feats)
+    return out.select(
+        "c_custkey",
+        F.round("lon", 6).alias("lon_w"),
+        F.round("lat", 6).alias("lat_w"),
+        "name",
+        "description",
+        "icon",
+        "color",
+    ).orderBy("c_custkey")
