@@ -17,6 +17,11 @@ efficiency *understates* the cluster's.
 Measurement protocol (this box drifts in minutes-long phases, up to 2× —
 BENCH/BASELINE.md controls):
 - isolated mode: each executor JVM runs ALONE, cluster wall = max executor;
+- persistent executor daemons: every (fleet, rank) JVM is built + warmed
+  ONCE and re-runs the measured job per sweep on request — the long-lived
+  executor shape of a real cluster, and it removes ~30 s of unmeasured
+  cold-start per task, so the wall budget buys 2-3× more sweeps (a drift
+  storm is survived by catching a stable window, which is a numbers game);
 - drift-interleaved sweeps: one sweep = two bookend samples of the N rank
   around the full 4N block (N wall = bookend mean — time-centered under a
   within-sweep drift ramp), repeated R times (R = SPARK_GRAFT_SCALE_REPEATS,
@@ -86,13 +91,38 @@ def prepare() -> None:
     spark.stop()
 
 
-def executor(rank: int, k: int) -> None:
-    import bench
+def _exec_session(k: int):
+    """Executor-JVM session: the local[2] small-executor shape with an
+    IDENTICAL heap for the N and 4N roles (both are local[2]; unequal heaps
+    would bias the ratio via GC pressure) and periodic context cleaning so
+    a long-lived daemon doesn't accumulate shuffle state across runs."""
+    from pyspark.sql import SparkSession
+
+    mem = os.environ.get("SPARK_GRAFT_EXEC_MEM", "24g")
+    s = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"oms-scale-exec-{k}")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", mem)
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _run_task(spark, rank: int, k: int) -> dict:
+    """One measured conflation over this rank's slice (fresh lineage each
+    call; the post-run clearCache drops the pipeline's persisted best-match
+    table OUTSIDE the timed window)."""
     from osm_merge_spark.operators import conflate as C
     from osm_merge_spark.plans import distribute as DST
 
-    spark = bench.build_spark(2)
-    bench.warmup(spark)
     spec = json.load(open(BOUNDS))[str(k)]
     drop = ["anchor_x", "anchor_y", "min_x", "max_x"]
     ext = spark.read.parquet(EXT_T)
@@ -102,7 +132,39 @@ def executor(rank: int, k: int) -> None:
     t0 = time.time()
     conflated, new = C.conflate(my_ext, my_osm, salt_hot_threshold=2000)
     n = conflated.count() + new.count()
-    print(json.dumps({"rank": rank, "k": k, "rows": n, "secs": round(time.time() - t0, 2)}))
+    secs = time.time() - t0
+    spark.catalog.clearCache()
+    return {"rank": rank, "k": k, "rows": n, "secs": round(secs, 2)}
+
+
+def executor(rank: int, k: int) -> None:
+    """Single-shot worker (used by the concurrent control mode)."""
+    import bench
+
+    spark = _exec_session(k)
+    bench.warmup(spark)
+    print(json.dumps(_run_task(spark, rank, k)))
+    spark.stop()
+
+
+def executor_daemon(rank: int, k: int) -> None:
+    """Persistent worker: build + warm the JVM ONCE, then run the measured
+    job on each ``RUN`` line from stdin (one JSON result line per run).
+
+    This models a real cluster's long-lived executors (JIT-warm JVM, warm
+    Python workers) and — the practical point — removes ~30 s of unmeasured
+    cold-start per task per sweep, so the drift-interleaved protocol fits
+    2-3× more sweeps into the same wall budget and has that much more
+    chance of catching a machine-stable window."""
+    import bench
+
+    spark = _exec_session(k)
+    bench.warmup(spark)
+    print(json.dumps({"ready": True, "rank": rank, "k": k, "pid": os.getpid()}), flush=True)
+    for line in sys.stdin:
+        if line.strip() != "RUN":
+            break
+        print(json.dumps(_run_task(spark, rank, k)), flush=True)
     spark.stop()
 
 
@@ -113,11 +175,97 @@ def _spawn(rank: int, k: int):
     )
 
 
+class _Daemon:
+    """Orchestrator-side handle for one executor_daemon process."""
+
+    def __init__(self, rank: int, k: int):
+        self.rank, self.k = rank, k
+        self.p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--daemon", str(rank), str(k)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, bufsize=1,
+        )
+
+    def _read_json(self, timeout: float) -> dict:
+        import select
+
+        t_end = time.time() + timeout
+        while True:
+            r, _, _ = select.select([self.p.stdout], [], [], max(0.1, t_end - time.time()))
+            if not r:
+                raise TimeoutError(f"executor daemon k={self.k} rank={self.rank} timed out")
+            line = self.p.stdout.readline()
+            if not line:
+                raise RuntimeError(f"executor daemon k={self.k} rank={self.rank} exited")
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+
+    def wait_ready(self, timeout: float = 900) -> None:
+        msg = self._read_json(timeout)
+        if not msg.get("ready"):
+            raise RuntimeError(f"unexpected daemon handshake: {msg}")
+
+    def run(self, timeout: float = 1800) -> dict:
+        self.p.stdin.write("RUN\n")
+        self.p.stdin.flush()
+        return self._read_json(timeout)
+
+    def stop(self) -> None:
+        try:
+            self.p.stdin.write("EXIT\n")
+            self.p.stdin.flush()
+            self.p.stdin.close()
+            self.p.wait(timeout=60)
+        except Exception:
+            self.p.kill()
+
+
+_POOL: dict[tuple[int, int], _Daemon] = {}
+
+
+def _pool_daemon(rank: int, k: int) -> _Daemon:
+    key = (k, rank)
+    d = _POOL.get(key)
+    if d is None or d.p.poll() is not None:
+        d = _Daemon(rank, k)
+        d.wait_ready()
+        _POOL[key] = d
+    return d
+
+
+def _pool_prewarm(n: int) -> None:
+    """Spawn + warm every daemon concurrently (startup is unmeasured and
+    outside the sweep budget; contention here doesn't touch any timing)."""
+    fresh = []
+    for k, r in [(n, rr) for rr in range(n)] + [(4 * n, rr) for rr in range(4 * n)]:
+        if (k, r) not in _POOL or _POOL[(k, r)].p.poll() is not None:
+            d = _Daemon(r, k)
+            _POOL[(k, r)] = d
+            fresh.append(d)
+    for d in fresh:
+        d.wait_ready()
+
+
+def _pool_stop() -> None:
+    for d in _POOL.values():
+        d.stop()
+    _POOL.clear()
+
+
 def _run_once(rank: int, k: int) -> dict:
-    p = _spawn(rank, k)
-    out, _ = p.communicate(timeout=1800)
-    line = [l for l in out.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    """One isolated measured run of (k, rank) via its persistent daemon;
+    a crashed daemon (e.g. OOM-killed) is respawned once."""
+    try:
+        return _pool_daemon(rank, k).run()
+    except (RuntimeError, TimeoutError, BrokenPipeError, OSError):
+        d = _POOL.pop((k, rank), None)
+        if d is not None:
+            try:
+                d.p.kill()
+            except Exception:
+                pass
+        return _pool_daemon(rank, k).run()
 
 
 def run_fleet(k: int) -> dict:
@@ -266,12 +414,19 @@ def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--executor":
         executor(int(sys.argv[2]), int(sys.argv[3]))
         return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--daemon":
+        executor_daemon(int(sys.argv[2]), int(sys.argv[3]))
+        return
     prepare()
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "isolated")
     gate = {}
     if mode == "isolated":
-        a, b, gate = run_scaling_interleaved(n)
+        try:
+            _pool_prewarm(n)
+            a, b, gate = run_scaling_interleaved(n)
+        finally:
+            _pool_stop()
     else:
         a, b = run_fleet(n), run_fleet(4 * n)
     eff = (b["rate"] / a["rate"]) / 4
@@ -282,12 +437,13 @@ def main() -> None:
         "rows_n": a["rows"], "rows_4n": b["rows"],
         "scaling_efficiency": round(eff, 3),
         **gate,
-        "protocol": f"multi-executor simulation ({mode}): K independent local[2] JVMs; "
-                    "longitude-range ownership with exact threshold-padded secondary slices "
-                    "(plans.distribute); drift-interleaved sweeps (N bookends around the 4N "
-                    "block, N wall = bookend mean), recorded sweep chosen by internal "
-                    "consistency (balanced 4N walls AND agreeing N bookends, fastest "
-                    "total), balance-gated sweeps to the full wall budget",
+        "protocol": f"multi-executor simulation ({mode}): K independent local[2] JVMs "
+                    "(persistent warm daemons, serially scheduled — cluster-like long-lived "
+                    "executors, no per-sweep cold-start); longitude-range ownership with exact "
+                    "threshold-padded secondary slices (plans.distribute); drift-interleaved "
+                    "sweeps (N bookends around the 4N block, N wall = bookend mean), recorded "
+                    "sweep chosen by internal consistency (balanced 4N walls AND agreeing N "
+                    "bookends, fastest total), balance-gated sweeps to the full wall budget",
     }))
 
 
