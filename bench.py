@@ -129,7 +129,8 @@ def run_scaling() -> dict:
         "per_exec_4n": fleet["per_exec_4n"],
         "scaling_efficiency": fleet["scaling_efficiency"],
     }
-    for k in ("balance_4n", "balance_gate", "balance_gate_met", "sweeps_run"):
+    for k in ("balance_4n", "balance_gate", "balance_gate_met", "sweeps_run",
+              "scaling_efficiency_rejected", "scaling_rejection"):
         if k in fleet:
             out[k] = fleet[k]
     return out

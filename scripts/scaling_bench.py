@@ -124,14 +124,25 @@ def _exec_session(k: int):
     """Executor-JVM session: the local[2] small-executor shape with an
     IDENTICAL heap for the N and 4N roles (both are local[2]; unequal heaps
     would bias the ratio via GC pressure) and periodic context cleaning so
-    a long-lived daemon doesn't accumulate shuffle state across runs."""
+    a long-lived daemon doesn't accumulate shuffle state across runs.
+
+    Shuffle partitions are the rank's SHARE of the global job's:
+    ``spark.sql.shuffle.partitions`` is a per-JOB setting on a real
+    cluster — the same 16-partition shuffle is pulled by 1 executor at N
+    and spread 4-per-executor at 4N, with identical per-task sizes either
+    way.  A rank-local job that kept all 16 partitions on a quarter slice
+    would run 4× the tasks at ¼ the size and pay 4× the per-task
+    Python-worker/Arrow overhead — a simulation artifact, not a property
+    of the engine's split (measured: ~6 s of the 4N ranks' ~42 s walls at
+    303 k rows/rank, the gap between 0.78 and the engine's split)."""
     from pyspark.sql import SparkSession
 
+    global_p = int(os.environ.get("SPARK_GRAFT_SCALE_GLOBAL_PARTITIONS", "16"))
     mem = os.environ.get("SPARK_GRAFT_EXEC_MEM", "24g")
     s = (
         SparkSession.builder.master("local[2]")
         .appName(f"oms-scale-exec-{k}")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", str(max(2, global_p // max(k, 1))))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -450,6 +461,32 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
     )
 
 
+def claim(a: dict, b: dict, gate: dict, mode: str, n: int) -> dict:
+    """The recorded N→4N claim.  A sweep whose walls disagree internally
+    (drift storm) is not a measurement of the engine's split — when no sweep
+    passed the consistency gate, REFUSE to claim an efficiency: the raw
+    walls stay recorded for diagnosis, ``scaling_efficiency`` reads null,
+    and the unclaimed number moves to ``scaling_efficiency_rejected``."""
+    eff = round((b["rate"] / a["rate"]) / 4, 3)
+    out = {
+        "n_executors": n, "mode": mode,
+        "rate_n": a["rate"], "wall_n": a["wall_secs"], "per_exec_n": a["per_executor_secs"],
+        "rate_4n": b["rate"], "wall_4n": b["wall_secs"], "per_exec_4n": b["per_executor_secs"],
+        "rows_n": a["rows"], "rows_4n": b["rows"],
+        "scaling_efficiency": eff,
+    }
+    if mode == "isolated" and not gate.get("balance_gate_met", True):
+        out["scaling_efficiency"] = None
+        out["scaling_efficiency_rejected"] = eff
+        out["scaling_rejection"] = (
+            "no sweep within the wall budget passed the internal-consistency "
+            "gate (balanced 4N walls + agreeing N bookends); the efficiency "
+            "of the most-consistent sweep is recorded under "
+            "scaling_efficiency_rejected, not claimed"
+        )
+    return out
+
+
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--executor":
         executor(int(sys.argv[2]), int(sys.argv[3]))
@@ -469,13 +506,8 @@ def main() -> None:
             _pool_stop()
     else:
         a, b = run_fleet(n), run_fleet(4 * n)
-    eff = (b["rate"] / a["rate"]) / 4
     print(json.dumps({
-        "n_executors": n, "mode": mode,
-        "rate_n": a["rate"], "wall_n": a["wall_secs"], "per_exec_n": a["per_executor_secs"],
-        "rate_4n": b["rate"], "wall_4n": b["wall_secs"], "per_exec_4n": b["per_executor_secs"],
-        "rows_n": a["rows"], "rows_4n": b["rows"],
-        "scaling_efficiency": round(eff, 3),
+        **claim(a, b, gate, mode, n),
         **gate,
         "protocol": f"multi-executor simulation ({mode}): K independent local[2] JVMs "
                     "(persistent warm daemons, serially scheduled — cluster-like long-lived "

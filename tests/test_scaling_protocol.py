@@ -140,3 +140,27 @@ def test_wall_budget_bounds_sweeps(monkeypatch):
         monkeypatch, lambda i: 1.5 if i % 6 == 3 else 1.0, SPARK_GRAFT_SCALE_BUDGET_S=0
     )
     assert len(box.calls) == 12
+
+
+def test_claim_refuses_unbalanced_sweep(monkeypatch):
+    # the recorded JSON must not CLAIM an efficiency from a sweep that
+    # failed the internal-consistency gate — the number moves to
+    # scaling_efficiency_rejected and the claim field reads null
+    box, a, b, gate = _run(monkeypatch, lambda i: 1.5 if i % 6 == 3 else 1.0)
+    assert gate["balance_gate_met"] is False
+    out = SB.claim(a, b, gate, "isolated", 1)
+    assert out["scaling_efficiency"] is None
+    assert out["scaling_efficiency_rejected"] == pytest.approx(
+        (b["rate"] / a["rate"]) / 4, abs=1e-3
+    )
+    assert "scaling_rejection" in out
+
+
+def test_claim_records_balanced_sweep(monkeypatch):
+    box, a, b, gate = _run(monkeypatch, lambda i: 1.0)
+    assert gate["balance_gate_met"] is True
+    out = SB.claim(a, b, gate, "isolated", 1)
+    assert out["scaling_efficiency"] == pytest.approx(
+        (b["rate"] / a["rate"]) / 4, abs=1e-3
+    )
+    assert "scaling_rejection" not in out
