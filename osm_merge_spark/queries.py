@@ -2910,3 +2910,87 @@ def q_gpx_waypoints(spark, sf_dir):
         "icon",
         "color",
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# S5/P8 — full ODK→OSM conversion engine (fieldwork/convert.py:47-339):
+# select-multiple value conversion, value tables, rename+truncate quirks,
+# private-data split (round-4 addition)
+# ---------------------------------------------------------------------------
+
+_ODK_MULT_SQL = """
+WITH src AS (
+  SELECT c_custkey AS k, c_custkey % 4 AS k4, c_custkey % 3 AS k3 FROM customer
+)
+SELECT k,
+  -- emergency value table wins over the select-multiple amenity (map
+  -- update order: services first, then emergency — last wins)
+  CASE WHEN k3 = 0 THEN 'police' WHEN k3 = 1 THEN 'clinic'
+       WHEN k4 = 1 THEN 'drinking_water;drinking_water' END AS amenity,
+  CASE WHEN k4 IN (0, 2) THEN 'yes' END AS valve,
+  CASE WHEN k4 = 0 THEN 'yes' END AS well,
+  CASE WHEN k4 = 2 THEN 'yes' END AS wheelchair,
+  CASE WHEN k4 = 3 THEN 'yes' END AS handrail,
+  CASE WHEN k3 = 2 THEN 'lifeguard' END AS emergency,
+  '2500.12' AS ele,
+  'field note' AS note,
+  1 AS n_priv
+FROM src ORDER BY k
+"""
+
+
+@register("q_odk_multiple", _ODK_MULT_SQL)
+def q_odk_multiple(spark, sf_dir):
+    """The full ODK→OSM conversion engine end-to-end
+    (`fieldwork/convert.py:112-339` semantics, compiled to one Column
+    expression — `sources/odk_convert.py`): a select-multiple field whose
+    choices hit the k=v table (``faucet``→``valve=yes``), the
+    semicolon-join path (two choices both mapping to
+    ``amenity=drinking_water``), the no-``=`` drop quirk (``xid``) and the
+    unknown-choice→``yes`` fallback; an ``emergency`` value-table field
+    including a table miss; the ``altitude``→``ele`` rename with 7-char
+    truncation; the ``comment``→``note`` rename; an ignored metadata field
+    and a ``private`` field stripped into the non-OSM side output."""
+    from .sources import odk_convert as OC
+
+    cfg = OC.XFormsConfig.default()
+    cfg.multiple = cfg.multiple + ["waterpoint_services"]
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    k4, k3 = F.pmod(k, F.lit(4)), F.pmod(k, F.lit(3))
+    services = (
+        F.when(k4 == 0, "faucet well")
+        .when(k4 == 1, "drinkable_water drinking_water")
+        .when(k4 == 2, "faucet wheelchair")
+        .otherwise("xid handrail")
+    )
+    emergency = F.when(k3 == 0, "police").when(k3 == 1, "clinic").otherwise("lifeguard")
+    raw = c.select(
+        k.alias("k"),
+        F.create_map(
+            F.lit("waterpoint_services"), services,
+            F.lit("emergency"), emergency,
+            F.lit("altitude"), F.lit("2500.123456"),
+            F.lit("comment"), F.lit("field note"),
+            F.lit("deviceid"), F.lit("d-77"),
+            F.lit("age"), F.pmod(k, F.lit(90)).cast("string"),
+        ).alias("tags"),
+    )
+    out = raw.select(
+        "k",
+        OC.convert_tags("tags", cfg, drop_private=True).alias("osm"),
+        OC.private_tags("tags", cfg).alias("priv"),
+    )
+    t = F.col("osm")
+    return out.select(
+        "k",
+        F.element_at(t, "amenity").alias("amenity"),
+        F.element_at(t, "valve").alias("valve"),
+        F.element_at(t, "well").alias("well"),
+        F.element_at(t, "wheelchair").alias("wheelchair"),
+        F.element_at(t, "handrail").alias("handrail"),
+        F.element_at(t, "emergency").alias("emergency"),
+        F.element_at(t, "ele").alias("ele"),
+        F.element_at(t, "note").alias("note"),
+        F.size("priv").alias("n_priv"),
+    ).orderBy("k")

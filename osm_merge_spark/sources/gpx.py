@@ -72,13 +72,20 @@ def _centroid_udf(geom: pd.Series) -> pd.DataFrame:
 
 def _icon_col(tags: Column) -> Column:
     """The reference's if/elif icon ladder (`osm2favorities.py:123-131`),
-    including the unreachable-picnic quirk (module docstring)."""
-    tourism = tags.getItem("tourism")
-    highway = tags.getItem("highway")
+    including the unreachable-picnic quirk (module docstring).  The
+    reference gates on Python truthiness (``if tourism and ...``), so an
+    empty-string tag value counts as absent — mirrored here with explicit
+    empty-string guards."""
+    tourism = tags["tourism"]
+    highway = tags["highway"]
     # `osm2favorities.py:105-107`: amenity only consulted when no highway
-    amenity = F.when(highway.isNull(), tags.getItem("amenity"))
+    # (null OR empty — `if not highway` is true for "")
+    amenity = F.when(highway.isNull() | (highway == ""), tags["amenity"])
     return (
-        F.when(tourism.isNotNull() & (tourism != "picnic site"), F.lit("tourism_camp_site"))
+        F.when(
+            tourism.isNotNull() & (tourism != "") & (tourism != "picnic site"),
+            F.lit("tourism_camp_site"),
+        )
         .when(highway == "trailhead", F.lit("special_trekking"))
         .when(amenity == "parking", F.lit("amenity_parking"))
     )
@@ -119,13 +126,13 @@ def favorite_waypoints(df: DataFrame, geom_col: str = "geom", tags_col: str = "t
         .withColumn("lon", F.col("__c.lon"))
         .withColumn("lat", F.col("__c.lat"))
         .drop("__c")
-        .withColumn("name", F.coalesce(tags.getItem("name"), F.lit("")))
+        .withColumn("name", F.coalesce(tags["name"], F.lit("")))
         .withColumn("description", _description_col(tags))
         .withColumn("icon", icon)
         # `osm2favorities.py:48-50`: every extension block gets a circle
         # background; color only for icons in the color table
         .withColumn("background", F.when(icon.isNotNull(), F.lit("circle")))
-        .withColumn("color", colors.getItem(icon))
+        .withColumn("color", colors[icon])
     )
 
 
@@ -141,11 +148,25 @@ def write_gpx_favorites(
     GPX 1.1 with the ``osmand`` namespace (`osm2favorities.py:83-85`);
     waypoint = ``<wpt lat lon><name/><desc/><extensions>…</extensions>``
     with ``osmand:icon`` / ``osmand:background`` / ``osmand:color``
-    children (`osm2favorities.py:114-134`)."""
+    children (`osm2favorities.py:114-134`).
+
+    Rows whose geometry produced a non-finite anchor (empty/unparseable
+    WKT → NaN centroid) are dropped before writing — ``lat="nan"`` is
+    invalid GPX and bricks the import on the target device."""
     cols = ["lat", "lon", "name", "description", "icon", "background", "color"]
-    rows = df.select(*cols)
+    finite = (
+        F.col("lat").isNotNull() & ~F.isnan("lat")
+        & F.col("lon").isNotNull() & ~F.isnan("lon")
+    )
     if order_col:
-        rows = df.select(*cols, F.col(order_col).alias("__o")).orderBy("__o").drop("__o")
+        rows = (
+            df.filter(finite)
+            .select(*cols, F.col(order_col).alias("__o"))
+            .orderBy("__o")
+            .drop("__o")
+        )
+    else:
+        rows = df.filter(finite).select(*cols)
     n = 0
     with open(path, "w") as fd:
         fd.write('<?xml version="1.0" encoding="UTF-8"?>\n')

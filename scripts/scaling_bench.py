@@ -58,13 +58,22 @@ WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp/oms_bench")
 # slices it dominates the 4N walls and the measurement reflects the
 # sandbox's job overhead, not the engine's split.  100 TB — the regime the
 # north rule is about — is the work-dominated end; a larger corpus moves
-# the measurement toward it.  The env below feeds bench.REPLICAS (and the
-# corpus TAG) in this process and every executor daemon it spawns.
-os.environ["SPARK_GRAFT_BENCH_REPLICAS"] = os.environ.get(
+# the measurement toward it.  _REPLICAS feeds bench.REPLICAS (and the
+# corpus TAG) via _apply_scale_env(), called from the entrypoints only —
+# importing this module (e.g. from tests) must not mutate the process env.
+_REPLICAS = os.environ.get(
     "SPARK_GRAFT_SCALE_REPLICAS",
     os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "8"),
 )
-TAG = f"{os.path.basename(SF_DIR)}_r{os.environ.get('SPARK_GRAFT_BENCH_REPLICAS', '4')}_p{os.environ.get('SPARK_GRAFT_BENCH_NPTS', '5')}"
+
+
+def _apply_scale_env() -> None:
+    """Propagate the scale-corpus replica count to bench.REPLICAS (and,
+    via inherited env, to every executor daemon this process spawns)."""
+    os.environ["SPARK_GRAFT_BENCH_REPLICAS"] = _REPLICAS
+
+
+TAG = f"{os.path.basename(SF_DIR)}_r{_REPLICAS}_p{os.environ.get('SPARK_GRAFT_BENCH_NPTS', '5')}"
 EXT_T = f"{WORKDIR}/ext_strips_v3_{TAG}"
 OSM_T = f"{WORKDIR}/osm_strips_v3_{TAG}"
 BOUNDS = f"{WORKDIR}/bounds_v4_{TAG}.json"
@@ -236,21 +245,40 @@ class _Daemon:
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             text=True, bufsize=1,
         )
+        # raw receive buffer for _read_json (stdout is read via os.read on
+        # the fd, never through the buffered text wrapper)
+        self._rxbuf = b""
 
     def _read_json(self, timeout: float) -> dict:
+        """Read the daemon's next JSON line within ``timeout``.
+
+        Reads the raw fd with os.read under a deadline (select() on the fd
+        combined with a *buffered* readline() is wrong: a second line
+        already sitting in the buffer is invisible to select(), turning a
+        present message into a spurious timeout + daemon respawn)."""
         import select
 
+        fd = self.p.stdout.fileno()
         t_end = time.time() + timeout
+        buf = self._rxbuf
         while True:
-            r, _, _ = select.select([self.p.stdout], [], [], max(0.1, t_end - time.time()))
+            while b"\n" in buf:
+                raw, buf = buf.split(b"\n", 1)
+                self._rxbuf = buf
+                line = raw.decode("utf-8", "replace").strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+            r, _, _ = select.select([fd], [], [], max(0.1, t_end - time.time()))
             if not r:
-                raise TimeoutError(f"executor daemon k={self.k} rank={self.rank} timed out")
-            line = self.p.stdout.readline()
-            if not line:
+                if time.time() >= t_end:
+                    raise TimeoutError(
+                        f"executor daemon k={self.k} rank={self.rank} timed out"
+                    )
+                continue
+            chunk = os.read(fd, 65536)
+            if not chunk:
                 raise RuntimeError(f"executor daemon k={self.k} rank={self.rank} exited")
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
+            buf += chunk
 
     def wait_ready(self, timeout: float = 900) -> None:
         msg = self._read_json(timeout)
@@ -309,7 +337,9 @@ def _run_once(rank: int, k: int) -> dict:
     a crashed daemon (e.g. OOM-killed) is respawned once."""
     try:
         return _pool_daemon(rank, k).run()
-    except (RuntimeError, TimeoutError, BrokenPipeError, OSError):
+    except (RuntimeError, TimeoutError, BrokenPipeError, OSError, ValueError):
+        # ValueError covers json.JSONDecodeError: one garbled daemon stdout
+        # line gets the same single-respawn path as a crash, not a sweep abort
         d = _POOL.pop((k, rank), None)
         if d is not None:
             try:
@@ -488,6 +518,7 @@ def claim(a: dict, b: dict, gate: dict, mode: str, n: int) -> dict:
 
 
 def main() -> None:
+    _apply_scale_env()
     if len(sys.argv) >= 4 and sys.argv[1] == "--executor":
         executor(int(sys.argv[2]), int(sys.argv[3]))
         return

@@ -107,3 +107,30 @@ def test_gpx_round_trip(spark, tmp_path):
     assert got[2]["icon"] is None
     assert got[0]["lon"] == -105.5 and got[0]["lat"] == 39.25
     assert got[0]["description"] == "<p>tourism = camp site<br></p>"
+
+
+def test_empty_string_tags_count_as_absent(spark):
+    # reference gates on Python truthiness (`if tourism and ...`,
+    # `osm2favorities.py:96-107`): "" behaves like a missing tag
+    rows = [
+        (1, "POINT(0 0)", {"name": "T", "tourism": ""}),
+        (2, "POINT(0 0)", {"name": "H", "highway": "", "amenity": "parking"}),
+    ]
+    df = spark.createDataFrame(rows, "id int, geom string, tags map<string,string>")
+    got = GX.favorite_waypoints(df).orderBy("id").collect()
+    assert got[0].icon is None  # empty tourism ≠ camp site
+    assert got[1].icon == "amenity_parking"  # empty highway doesn't shadow amenity
+
+
+def test_nonfinite_waypoints_skipped(spark, tmp_path):
+    rows = [
+        (1, "POINT(-105.5 39.25)", {"name": "ok"}),
+        (2, "", {"name": "broken"}),  # empty WKT → NaN centroid
+    ]
+    df = spark.createDataFrame(rows, "id int, geom string, tags map<string,string>")
+    path = str(tmp_path / "fav.gpx")
+    n = GX.write_gpx_favorites(GX.favorite_waypoints(df), path, order_col="id")
+    assert n == 1
+    got = GX.read_gpx_favorites(path)
+    assert [w["name"] for w in got] == ["ok"]
+    assert "nan" not in open(path).read()

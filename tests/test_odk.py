@@ -118,3 +118,168 @@ def test_xml_matches_csv_features(spark, tmp_path):
     from_csv = ODK.read_odk_csv(spark, str(csv)).select("lon", "lat", "tags").first()
     from_xml = ODK.read_odk_xml(spark, str(d)).select("lon", "lat", "tags").first()
     assert from_csv == from_xml
+
+
+# ---------------------------------------------------------------------------
+# Full conversion engine (fieldwork/convert.py:47-339 + xforms.yaml)
+# ---------------------------------------------------------------------------
+
+from osm_merge_spark.sources import odk_convert as OC
+
+
+class TestConvertEngineTruth:
+    """Driver-side truth tables vs the reference semantics."""
+
+    def setup_method(self):
+        self.cfg = OC.XFormsConfig.default()
+
+    def test_plain_rename(self):
+        # `xid: id` (`xforms.yaml`) — rename, value untouched
+        assert self.cfg.convert_entry("xid", "123") == [("id", "123")]
+
+    def test_rename_with_value_spec_keeps_raw_value(self):
+        # `openfire: leisure=firepit` — convertTag keeps only the pre-'='
+        # part (`convert.py:297-299`); the '=firepit' is NOT applied
+        assert self.cfg.convert_entry("openfire", "yes") == [("leisure", "yes")]
+
+    def test_value_table_multi_pair(self):
+        # food → amenity (rename), then the amenity value table expands
+        # coffee to two pairs (`convert.py:268-276`)
+        assert self.cfg.convert_entry("food", "coffee") == [
+            ("amenity", "cafe"),
+            ("cuisine", "coffee_shop"),
+        ]
+
+    def test_value_table_single_pair(self):
+        assert self.cfg.convert_entry("emergency", "police") == [("amenity", "police")]
+
+    def test_value_table_miss_passes_through(self):
+        # value not in the table → {tag: value} (`convert.py:257-259`)
+        assert self.cfg.convert_entry("emergency", "lifeguard") == [("emergency", "lifeguard")]
+
+    def test_ele_truncation(self):
+        # altitude → ele, value truncated to 7 chars (`convert.py:217-219`)
+        assert self.cfg.convert_entry("altitude", "2500.123456") == [("ele", "2500.12")]
+
+    def test_untouched_passthrough(self):
+        assert self.cfg.convert_entry("surface", "dirt") == [("surface", "dirt")]
+
+    def test_ignore_dropped(self):
+        assert self.cfg.convert_entry("deviceid", "x123") == []
+
+    def test_quirk_renamed_to_string_key_vanishes(self):
+        # livestock → drinking_water, itself a string convert key →
+        # convertValue returns [] (`convert.py:251-254,277`)
+        assert self.cfg.convert_entry("livestock", "cattle") == []
+
+    def test_quirk_capitalized_config_keys_dead(self):
+        # `Monday: Mo` is stored verbatim but lookups lowercase
+        # (`convert.py:74-89` vs `:125`) — the rename never fires
+        assert self.cfg.convert_entry("Monday", "09:00-17:00") == [("monday", "09:00-17:00")]
+
+    def test_multiple_known_choices_join(self):
+        # choices with k=v conversions; same-key values ';'-joined
+        # (`convert.py:326-339`)
+        assert self.cfg.convert_multiple("faucet well") == [
+            ("valve", "yes"),
+            ("well", "yes"),
+        ]
+        assert self.cfg.convert_multiple("drinkable_water drinking_water") == [
+            ("amenity", "drinking_water;drinking_water")
+        ]
+
+    def test_multiple_unknown_choice_yes(self):
+        assert self.cfg.convert_multiple("wheelchair parking") == [
+            ("wheelchair", "yes"),
+            ("parking", "yes"),
+        ]
+
+    def test_multiple_no_eq_choice_dropped(self):
+        # `xid: id` has no '=' → convertMultiple contributes nothing
+        # for that choice (`convert.py:328-337` quirk)
+        assert self.cfg.convert_multiple("xid parking") == [("parking", "yes")]
+
+
+class TestConvertEngineCompiled:
+    """The compiled Column engine matches the driver-side truth."""
+
+    def _run(self, spark, tags, multiple=None, drop_private=False):
+        cfg = OC.XFormsConfig.default()
+        if multiple is not None:
+            cfg.multiple = multiple
+        df = spark.createDataFrame([(tags,)], "tags map<string,string>")
+        return df.select(
+            OC.convert_tags("tags", cfg, drop_private=drop_private).alias("t")
+        ).first()["t"]
+
+    def test_rename_and_value_table(self, spark):
+        got = self._run(spark, {"xid": "77", "food": "coffee", "surface": "dirt"})
+        assert got == {"id": "77", "amenity": "cafe", "cuisine": "coffee_shop", "surface": "dirt"}
+
+    def test_ignore_and_quirks(self, spark):
+        got = self._run(
+            spark,
+            {"deviceid": "d", "livestock": "cattle", "Monday": "09-17", "altitude": "2500.123456"},
+        )
+        assert got == {"monday": "09-17", "ele": "2500.12"}
+
+    def test_select_multiple_semicolon_join(self, spark):
+        got = self._run(
+            spark,
+            {"waterpoint_services": "drinkable_water drinking_water wheelchair xid"},
+            multiple=["waterpoint_services"],
+        )
+        assert got == {"amenity": "drinking_water;drinking_water", "wheelchair": "yes"}
+
+    def test_private_strip_and_extract(self, spark):
+        tags = {"age": "41", "income": "x", "name": "A"}
+        cfg = OC.XFormsConfig.default()
+        df = spark.createDataFrame([(tags,)], "tags map<string,string>")
+        row = df.select(
+            OC.convert_tags("tags", cfg, drop_private=True).alias("osm"),
+            OC.private_tags("tags", cfg).alias("priv"),
+        ).first()
+        assert row["osm"] == {"name": "A"}
+        assert row["priv"] == {"age": "41", "income": "x"}
+
+    def test_empty_values_skipped(self, spark):
+        got = self._run(spark, {"name": "", "surface": "dirt"})
+        assert got == {"surface": "dirt"}
+
+    def test_compiled_matches_truth_sweep(self, spark):
+        """Property-style sweep: every convert key × a few values, the
+        compiled engine equals the driver-side truth."""
+        cfg = OC.XFormsConfig.default()
+        cases = []
+        for key in list(cfg.convert) + ["surface", "deviceid", "age"]:
+            vals = cfg.convert.get(key)
+            probe = list(vals)[:2] + ["zzz"] if isinstance(vals, dict) else ["val1", "zzz"]
+            for v in probe:
+                cases.append((key, v))
+        rows = [({k: v},) for k, v in cases]
+        df = spark.createDataFrame(rows, "tags map<string,string>")
+        got = [r["t"] for r in df.select(OC.convert_tags("tags", cfg).alias("t")).collect()]
+        for (k, v), g in zip(cases, got):
+            want = dict(cfg.convert_entry(k, v))
+            assert g == want, f"{k}={v}: compiled {g} != truth {want}"
+
+    def test_from_yaml_roundtrip(self, spark, tmp_path):
+        y = tmp_path / "custom.yaml"
+        y.write_text(
+            "convert:\n"
+            "  - species: genus\n"
+            "  - habitat:\n"
+            "      - wetland: natural=wetland,water=marsh\n"
+            "ignore:\n  - meta\n"
+            "private:\n  - collector\n"
+            "multiple:\n  - features\n"
+        )
+        cfg = OC.XFormsConfig.from_yaml(str(y))
+        assert cfg.convert_entry("species", "pinus") == [("genus", "pinus")]
+        assert cfg.convert_entry("habitat", "wetland") == [
+            ("natural", "wetland"),
+            ("water", "marsh"),
+        ]
+        df = spark.createDataFrame([({"habitat": "wetland", "collector": "me"},)], "tags map<string,string>")
+        got = df.select(OC.convert_tags("tags", cfg, drop_private=True).alias("t")).first()["t"]
+        assert got == {"natural": "wetland", "water": "marsh"}
