@@ -153,6 +153,35 @@ def synth_png_payload(ref: pd.Series) -> pd.Series:
     return synth_png_batch(ref)
 
 
+def synth_apng_batch(refs: pd.Series) -> pd.Series:
+    """Deterministic VALID animated PNG per ref: md5(ref) seeds dims
+    (w = 1+b0%13, h = 1+b1%11), base shade b2 and frame count 2+b3%5;
+    frame k's pixels are (base + 11k + 7r + 3c) % 256 with per-frame delay
+    (1 + k%3)/10 s.  The same arithmetic is reproducible in the DuckDB
+    oracle (q_apng_frames), so the decoded frames are value-checked."""
+    import hashlib
+
+    out = []
+    for ref in refs:
+        d = hashlib.md5(str(ref).encode()).hexdigest()
+        b0, b1, b2, b3 = (int(d[2 * i : 2 * i + 2], 16) for i in range(4))
+        w, h = 1 + b0 % 13, 1 + b1 % 11
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        frames = [
+            ((b2 + 11 * k + 7 * r + 3 * c) % 256).astype(np.uint8)
+            for k in range(2 + b3 % 5)
+        ]
+        delays = [(1 + k % 3, 10) for k in range(len(frames))]
+        out.append(png.encode_apng(frames, delays=delays, filters=np.arange(h) % 5))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_apng_payload(ref: pd.Series) -> pd.Series:
+    return synth_apng_batch(ref)
+
+
 # ---------------------------------------------------------------------------
 # Resize + frame-sample plumbing (decode stubs, real distributed shape)
 # ---------------------------------------------------------------------------
@@ -220,18 +249,41 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def sample_frames(media: DataFrame, every_n: int = 4, fps: float = 30.0) -> DataFrame:
-    """Video frame sampling as a row-generating ``mapInPandas`` (the UDTF
-    flavor: one output row per sampled frame).  The demuxer is a STUB —
-    frame count is derived deterministically from the payload bytes and
-    ``frame_sig`` stands in for the frame blob — but the fan-out shape
-    (explode inside Arrow batches, no driver involvement, schema-stable)
-    is exactly what a real ffmpeg-backed sampler drops into."""
+    """Frame sampling as a row-generating ``mapInPandas`` (the UDTF flavor:
+    one output row per sampled frame).
+
+    Animated-PNG payloads go through a REAL demuxer+decoder
+    (`functions/png.py` acTL/fcTL/fdAT over the shared inflate+unfilter
+    path): every sampled frame is composited to the full canvas,
+    ``t_offset`` is the true cumulative delay from the container's fcTL
+    timing, and ``frame_sig`` is the position-weighted polynomial hash of
+    the decoded pixels — value-checked by the q_apng_frames oracle.
+
+    Other video containers (mp4/webm, whose codecs genuinely aren't in
+    this environment) keep the deterministic STUB: frame count derived
+    from the payload bytes, md5 stand-in signature, ``idx/fps`` timing —
+    the fan-out shape (explode inside Arrow batches, no driver
+    involvement, schema-stable) is exactly what an ffmpeg-backed sampler
+    drops into."""
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                if png.is_apng(blob):
+                    frames, delays = png.decode_apng(bytes(blob))
+                    t = 0.0
+                    offsets = []
+                    for dn, dd in delays:
+                        offsets.append(t)
+                        t += dn / (dd or 100.0)  # spec: den 0 reads as 100
+                    for idx in range(0, len(frames), every_n):
+                        plane = _gray_plane(frames[idx])
+                        flat = plane.astype(np.int64).reshape(-1)
+                        sig = int((flat * (np.arange(flat.size) + 1)).sum() % _SIG_MOD)
+                        rows.append((doc_id, ref, idx, round(offsets[idx], 4), str(sig)))
+                    continue
                 b = np.frombuffer(blob if blob is not None else b"\x00", dtype=np.uint8)
                 hs = int(b[: min(64, len(b))].sum())
                 n_frames = 1 + hs % 16

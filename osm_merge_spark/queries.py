@@ -2994,3 +2994,59 @@ def q_odk_multiple(spark, sf_dir):
         F.element_at(t, "note").alias("note"),
         F.size("priv").alias("n_priv"),
     ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Real animated-PNG frame sampling (round-4: the APNG demuxer de-stubs the
+# frame-sample operator for one genuine animation container)
+# ---------------------------------------------------------------------------
+
+
+def _apng_frames_sql() -> str:
+    return (
+        _media_base_sql()
+        + """
+    , af AS (
+      SELECT doc_id, media_ref, 1 + b0 % 13 AS w, 1 + b1 % 11 AS h2,
+             b2 AS base, 2 + b3 % 5 AS nf
+      FROM bb
+    ),
+    fr AS (
+      SELECT doc_id, media_ref, w, h2, base,
+             CAST(unnest(range(0, nf, 2)) AS INT) AS frame_idx
+      FROM af
+    ),
+    px AS (
+      SELECT doc_id, media_ref, frame_idx,
+             ((base + 11 * frame_idx + 7 * r.i + 3 * c.i) % 256)
+               * (r.i * w + c.i + 1) AS term
+      FROM fr
+      JOIN (SELECT unnest(range(0, 11)) AS i) r ON r.i < h2
+      JOIN (SELECT unnest(range(0, 13)) AS i) c ON c.i < w
+    )
+    SELECT doc_id, media_ref, frame_idx,
+           round((frame_idx + 3 * (frame_idx // 3)
+                  + CASE WHEN frame_idx % 3 = 2 THEN 1 ELSE 0 END) / 10.0, 4) AS t_offset,
+           CAST(SUM(term) % 1000000007 AS VARCHAR) AS frame_sig
+    FROM px
+    GROUP BY doc_id, media_ref, frame_idx
+    ORDER BY doc_id, media_ref, frame_idx
+    """
+    )
+
+
+@register("q_apng_frames", _apng_frames_sql())
+def q_apng_frames(spark, sf_dir):
+    """REAL frame sampling: synthesized valid APNGs (acTL/fcTL/fdAT, the
+    full scanline-filter cycle) through the pure-python demuxer+decoder
+    (`functions/png.py`), every 2nd frame.  ``t_offset`` comes from the
+    container's actual fcTL delays (cumulative (1+k%3)/10 s), and
+    ``frame_sig`` is the position-weighted polynomial hash of the DECODED
+    canvas pixels — the DuckDB twin recomputes both from the md5
+    arithmetic, so the oracle checks real decoded values, not plumbing."""
+    docs = synth.documents_spans(spark, sf_dir)
+    feats = SP.spans_to_features(docs)
+    media = feats.select("doc_id", F.explode("media_refs").alias("media_ref")).withColumn(
+        "payload", M.synth_apng_payload("media_ref")
+    )
+    return M.sample_frames(media, every_n=2).orderBy("doc_id", "media_ref", "frame_idx")

@@ -275,3 +275,167 @@ def _quadkey_scalar(z: int, x: int, y: int) -> str:
             d += 2
         digits.append(str(d))
     return "".join(digits)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end basemap pipeline (`basemapper.py` main chain: zoom-range parse
+# → per-zoom tile enumeration over the boundary → download → MBTiles /
+# PMTiles sink, `create_basemap_file` `basemapper.py:462-583`).
+# ---------------------------------------------------------------------------
+
+
+def zoom_list(zooms) -> list[int]:
+    """`create_basemap_file`'s zoom argument parse (`basemapper.py:507-521`):
+    a range ``"12-17"``, comma levels ``"12,14"``, a single level, an int,
+    or an already-built list."""
+    if isinstance(zooms, int):
+        return [zooms]
+    if isinstance(zooms, (list, tuple)):
+        return [int(z) for z in zooms]
+    if zooms.find("-") > 0:
+        start, end = zooms.split("-")
+        return list(range(int(start), int(end) + 1))
+    if zooms.find(",") > 0:
+        return [int(z) for z in zooms.split(",")]
+    return [int(zooms)]
+
+
+def _tile_x(lon: float, z: int) -> int:
+    import math
+
+    return min((1 << z) - 1, max(0, int(((lon + 180.0) / 360.0) * (1 << z))))
+
+
+def _tile_y(lat: float, z: int) -> int:
+    import math
+
+    lat = min(85.0511287798066, max(-85.0511287798066, lat))
+    r = math.radians(lat)
+    return min(
+        (1 << z) - 1,
+        max(0, int((1.0 - math.asinh(math.tan(r)) / math.pi) / 2.0 * (1 << z))),
+    )
+
+
+def bbox_tiles(spark, bbox: tuple[float, float, float, float], zooms, chunk: int = 4096) -> DataFrame:
+    """Distributed (z, x, y) enumeration of the slippy tiles covering
+    ``bbox = (west, south, east, north)`` at each requested zoom — the
+    engine's form of the reference's per-zoom ``mercantile.tiles`` driver
+    loop (`basemapper.py:391`).
+
+    The per-zoom x/y index ranges are four scalar driver-side formulas; the
+    expansion itself is JVM-side ``sequence``+``explode``, two-level (x is
+    chunked) so no single generated array exceeds ``chunk`` entries — a
+    z≤19 planet-scale work list stays partitionable.  East/south edges
+    exactly on a tile boundary get an epsilon pull-in (mercantile's
+    LL_EPSILON behavior), so an aligned bbox doesn't enumerate an extra
+    row/column of tiles."""
+    eps = 1e-11
+    w, s, e, n = bbox
+    specs = []
+    for z in zoom_list(zooms):
+        specs.append(
+            (
+                z,
+                _tile_x(w, z),
+                _tile_x(e - eps if e > w else e, z),
+                _tile_y(n, z),
+                _tile_y(s + eps if n > s else s, z),
+            )
+        )
+    df = spark.createDataFrame(specs, "z int, x0 long, x1 long, y0 long, y1 long")
+    xc = F.explode(F.sequence(F.col("x0"), F.col("x1"), F.lit(int(chunk)))).alias("xc")
+    out = (
+        df.select("z", "y0", "y1", "x1", xc)
+        .select(
+            "z",
+            "y0",
+            "y1",
+            F.explode(F.sequence(F.col("xc"), F.least(F.col("xc") + (chunk - 1), F.col("x1")))).alias("x"),
+        )
+        .select("z", "x", F.explode(F.sequence(F.col("y0"), F.col("y1"))).alias("y"))
+    )
+    return out
+
+
+def custom_tms(url: str, xy: bool = False) -> dict:
+    """`BaseMapper.customTMS` (`basemapper.py:313-352`): strip a trailing
+    ``.jpg``/``.png`` into the suffix, replace a trailing ``{z}/{x}/{y}``
+    (or ``{z}/{y}/{x}``) template with the ``%s`` placeholder."""
+    suffix = "jpg"
+    if url.endswith(".jpg"):
+        suffix, url = "jpg", url[:-4]
+    elif url.endswith(".png"):
+        suffix, url = "png", url[:-4]
+    for pat in ("{z}/{x}/{y}", "{z}/{y}/{x}", "{zoom}/{x}/{y}"):
+        if url.endswith(pat):
+            url = url[: -len(pat)] + "%s"
+            break
+    if "%s" not in url:
+        url = url.rstrip("/") + "/%s"
+    return {"url": url, "suffix": suffix, "xy": xy, "source": "custom"}
+
+
+def create_basemap(
+    spark,
+    boundary: tuple[float, float, float, float],
+    outfile: str,
+    zooms="12",
+    source: str = "esri",
+    tms: str | None = None,
+    xy: bool = False,
+    fetch: Callable[[str], bytes] | None = None,
+    mirrors: list[dict] | None = None,
+) -> dict:
+    """The composed acquisition→sink pipeline, mirroring
+    `create_basemap_file` (`basemapper.py:462-583`): validate boundary and
+    source, parse zooms, enumerate the boundary's tiles per zoom, fetch
+    (mirror fallback; payloads stay in the frame — the no-tile-cache scale
+    path), and sink by the outfile suffix (``.mbtiles``/``.sqlitedb`` →
+    MBTiles, ``.pmtiles`` → PMTiles).  Returns
+    ``{"tiles": n_enumerated, "written": n_written, "format": ...}``.
+
+    ``fetch`` is the injectable network seam (module docstring); ``tms``
+    installs a custom provider exactly like the reference's ``--tms`` flag
+    (a non-oam source + tms → source "custom", `basemapper.py:536-538`).
+    """
+    if not boundary:
+        raise ValueError("You need to specify a boundary! (west, south, east, north)")
+    if not source and not tms:
+        raise ValueError("You need to specify a source!")
+    if source == "oam" and not tms:
+        raise ValueError("A TMS URL must be provided for OpenAerialMap!")
+    if mirrors is None:
+        if tms is not None:
+            site = custom_tms(tms, xy=xy)
+            if source == "oam":
+                site["source"] = "oam"
+            mirrors = [site]
+        else:
+            if source not in PROVIDERS:
+                raise ValueError(f"Unsupported source {source}")
+            mirrors = [PROVIDERS[source]]
+
+    levels = zoom_list(zooms)
+    tiles = bbox_tiles(spark, boundary, levels)
+    n_tiles = tiles.count()
+    # the sinks read the frame more than once (bounds agg + ordered write);
+    # persist so each tile is fetched from the network exactly once
+    frame = fetch_tiles_frame(tiles, mirrors=mirrors, fetch=fetch).persist()
+    try:
+        image_format = mirrors[0].get("suffix", "jpg")
+        suffix = os.path.splitext(outfile)[1].lower()
+        from . import tilesinks as TS
+
+        if suffix in (".mbtiles", ".sqlitedb", ".sqlite3"):
+            written = TS.write_mbtiles(
+                frame, outfile, name=os.path.basename(outfile), image_format=image_format
+            )
+        elif suffix == ".pmtiles":
+            stats = TS.write_pmtiles(frame, outfile, tile_type=image_format)
+            written = int(stats["tiles"])
+        else:
+            raise ValueError(f"Format {suffix} not supported")
+    finally:
+        frame.unpersist()
+    return {"tiles": int(n_tiles), "written": written, "format": suffix.lstrip("."), "zooms": levels}

@@ -110,3 +110,134 @@ def test_fetch_tiles_frame_feeds_sinks(spark, tmp_path):
     assert stats["tiles"] == 2
     got = {(z, x, y): b for z, x, y, b in TS.read_pmtiles(path)}
     assert got[(4, 3, 5)].startswith(b"IMG:") and b"/4/5/3" in got[(4, 3, 5)]
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline (`create_basemap_file`, basemapper.py:462-583)
+# ---------------------------------------------------------------------------
+
+import math
+
+import numpy as np
+
+from osm_merge_spark.functions import png as PNG
+
+
+def _ref_tiles(w, s, e, n, z):
+    """Scalar slippy enumeration (mercantile.tiles semantics) as the
+    oracle for the distributed bbox_tiles."""
+    def tx(lon):
+        return min((1 << z) - 1, max(0, int((lon + 180.0) / 360.0 * (1 << z))))
+
+    def ty(lat):
+        lat = min(85.0511287798066, max(-85.0511287798066, lat))
+        r = math.radians(lat)
+        return min((1 << z) - 1, max(0, int((1 - math.asinh(math.tan(r)) / math.pi) / 2 * (1 << z))))
+
+    eps = 1e-11
+    out = []
+    for x in range(tx(w), tx(e - eps if e > w else e) + 1):
+        for y in range(ty(n), ty(s + eps if n > s else s) + 1):
+            out.append((z, x, y))
+    return out
+
+
+class TestZoomList:
+    def test_range(self):
+        assert BM.zoom_list("12-15") == [12, 13, 14, 15]
+
+    def test_commas(self):
+        assert BM.zoom_list("12,14,17") == [12, 14, 17]
+
+    def test_single_and_int(self):
+        assert BM.zoom_list("9") == [9]
+        assert BM.zoom_list(9) == [9]
+        assert BM.zoom_list([9, 10]) == [9, 10]
+
+
+def test_bbox_tiles_matches_scalar_enumeration(spark):
+    bbox = (-105.7, 39.6, -105.3, 39.9)
+    got = {
+        (r.z, r.x, r.y)
+        for r in BM.bbox_tiles(spark, bbox, "10-12").collect()
+    }
+    want = set()
+    for z in (10, 11, 12):
+        want.update(_ref_tiles(*bbox, z))
+    assert got == want
+    assert len(got) > 20  # multi-tile, multi-zoom
+
+
+def test_bbox_tiles_chunked_expansion(spark):
+    # chunk smaller than the x-range: two-level explode must still cover
+    # every index exactly once
+    bbox = (-110.0, 39.0, -100.0, 39.01)
+    rows = BM.bbox_tiles(spark, bbox, 12, chunk=7).collect()
+    xs = sorted(r.x for r in rows)
+    assert xs == list(range(min(xs), max(xs) + 1))
+    assert len(set(xs)) == len(xs)
+
+
+def test_custom_tms_template():
+    site = BM.custom_tms("https://maps.nyc.gov/xyz/1.0.0/carto/basemap/{z}/{x}/{y}.jpg", xy=True)
+    assert site["suffix"] == "jpg"
+    assert site["url"].endswith("/%s")
+    assert BM.format_url(site, (3, 5, 12)) == "https://maps.nyc.gov/xyz/1.0.0/carto/basemap/12/3/5"
+
+
+def _tile_png(z, x, y):
+    """Deterministic valid PNG per tile (drives the real decoder paths)."""
+    rng = (z * 73856093) ^ (x * 19349663) ^ (y * 83492791)
+    img = np.full((8, 8), rng % 251, dtype=np.uint8)
+    img[0, 0] = (rng >> 8) % 251
+    return PNG.encode_png(img, filters=int(rng % 5))
+
+
+def test_create_basemap_end_to_end(spark, tmp_path):
+    """The full basemapper.main chain: boundary → zoom parse → tile
+    enumeration → mirror fetch (injected, serving valid PNGs) → MBTiles
+    AND PMTiles sinks → read both back and byte-compare every tile."""
+    from osm_merge_spark.sources import tilesinks as TS
+
+    bbox = (-105.7, 39.6, -105.3, 39.9)
+    site = dict(BM.PROVIDERS["esri"], suffix="png")
+    by_url = {}
+    for (z, x, y) in _ref_tiles(*bbox, 13):
+        by_url[BM.format_url(site, (x, y, z))] = _tile_png(z, x, y)
+
+    def fake_fetch(url):
+        return by_url[url]
+
+    out_mb = str(tmp_path / "base.mbtiles")
+    out_pm = str(tmp_path / "base.pmtiles")
+    st_mb = BM.create_basemap(spark, bbox, out_mb, zooms="13", mirrors=[site], fetch=fake_fetch)
+    st_pm = BM.create_basemap(spark, bbox, out_pm, zooms="13", mirrors=[site], fetch=fake_fetch)
+    want = {(z, x, y): _tile_png(z, x, y) for (z, x, y) in _ref_tiles(*bbox, 13)}
+    assert st_mb["tiles"] == len(want) and st_mb["written"] == len(want)
+    assert st_pm["tiles"] == len(want) and st_pm["written"] == len(want)
+    assert st_mb["format"] == "mbtiles" and st_pm["format"] == "pmtiles"
+
+    got_mb = {
+        (r.z, r.x, r.y): bytes(r.data) for r in TS.read_mbtiles(spark, out_mb).collect()
+    }
+    assert got_mb == want
+    got_pm = {(z, x, y): blob for z, x, y, blob in TS.read_pmtiles(out_pm)}
+    assert got_pm == want
+    # and the tiles are REAL images: decode one end-to-end
+    z, x, y = next(iter(want))
+    img = PNG.decode_png(got_pm[(z, x, y)])
+    assert img.shape == (8, 8)
+
+
+def test_create_basemap_validation(spark, tmp_path):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="boundary"):
+        BM.create_basemap(spark, None, str(tmp_path / "x.mbtiles"))
+    with _pt.raises(ValueError, match="OpenAerialMap"):
+        BM.create_basemap(spark, (0, 0, 1, 1), str(tmp_path / "x.mbtiles"), source="oam")
+    with _pt.raises(ValueError, match="not supported"):
+        BM.create_basemap(
+            spark, (0, 0, 1, 1), str(tmp_path / "x.zip"),
+            mirrors=[BM.PROVIDERS["esri"]], fetch=lambda u: b"",
+        )

@@ -83,3 +83,83 @@ def test_resize_real_nearest_neighbor(spark):
     flat = rs.astype(np.int64).reshape(-1)
     sig = int((flat * (np.arange(flat.size) + 1)).sum() % 1_000_000_007)
     assert (row.out_w, row.out_h, row.thumb_sig) == (out_w, out_h, str(sig))
+
+
+# ---------------------------------------------------------------------------
+# APNG (acTL/fcTL/fdAT over the shared inflate+unfilter path)
+# ---------------------------------------------------------------------------
+
+
+class TestApng:
+    def _img(self, shift=0):
+        r = np.arange(7)[:, None]
+        c = np.arange(5)[None, :]
+        return ((shift + 7 * r + 3 * c) % 256).astype(np.uint8)
+
+    def test_round_trip_full_frames(self):
+        frames = [self._img(k * 11) for k in range(4)]
+        delays = [(1 + k % 3, 10) for k in range(4)]
+        blob = png.encode_apng(frames, delays=delays, filters=np.arange(7) % 5)
+        assert png.is_apng(blob) and png.is_png(blob)
+        got, gd = png.decode_apng(blob)
+        assert gd == delays
+        for a, b in zip(got, frames):
+            assert (a == b).all()
+
+    def test_plain_png_is_not_apng(self):
+        blob = png.encode_png(self._img())
+        assert not png.is_apng(blob)
+        with pytest.raises(ValueError, match="acTL"):
+            png.decode_apng(blob)
+
+    def test_subregion_composites_onto_canvas(self):
+        f0 = self._img()
+        region = np.full((2, 3), 200, np.uint8)
+        blob = png.encode_apng([f0, region], offsets=[(0, 0), (1, 2)])
+        got, _ = png.decode_apng(blob)
+        want = f0.copy()
+        want[2:4, 1:4] = 200
+        assert (got[0] == f0).all()
+        assert (got[1] == want).all()
+
+    def test_region_bounds_checked(self):
+        with pytest.raises(ValueError, match="canvas"):
+            png.encode_apng([self._img(), np.zeros((9, 9), np.uint8)], offsets=[(0, 0), (3, 3)])
+
+    def test_rgb_frames(self):
+        rgb = np.stack([self._img(), self._img(5), self._img(9)], axis=-1)
+        got, _ = png.decode_apng(png.encode_apng([rgb, rgb]))
+        assert got[0].shape == (7, 5, 3)
+        assert (got[1] == rgb).all()
+
+    def test_dispose_background_clears_region(self):
+        import struct
+        import zlib
+
+        f0 = self._img()
+        region = np.full((2, 3), 200, np.uint8)
+
+        def fctl(seq, fw, fh, x, y, dispose, blend):
+            return png._chunk(
+                b"fcTL", struct.pack(">IIIIIHHBB", seq, fw, fh, x, y, 1, 10, dispose, blend)
+            )
+
+        out = bytearray(png._MAGIC)
+        out += png._chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 7, 8, 0, 0, 0, 0))
+        out += png._chunk(b"acTL", struct.pack(">II", 3, 0))
+        out += fctl(0, 5, 7, 0, 0, 0, 0)
+        out += png._chunk(b"IDAT", zlib.compress(png._filter_rows(f0[:, :, None], png._norm_filters(0, 7))))
+        # frame 1: region with dispose=BACKGROUND — must clear for frame 2
+        out += fctl(1, 3, 2, 1, 2, 1, 0)
+        out += png._chunk(b"fdAT", struct.pack(">I", 2) + zlib.compress(
+            png._filter_rows(region[:, :, None], png._norm_filters(0, 2))))
+        # frame 2: 1x1 dot elsewhere — canvas shows the CLEARED region
+        dot = np.full((1, 1), 9, np.uint8)
+        out += fctl(3, 1, 1, 0, 0, 0, 0)
+        out += png._chunk(b"fdAT", struct.pack(">I", 4) + zlib.compress(
+            png._filter_rows(dot[:, :, None], png._norm_filters(0, 1))))
+        out += png._chunk(b"IEND", b"")
+        got, _ = png.decode_apng(bytes(out))
+        assert (got[1][2:4, 1:4] == 200).all()
+        assert (got[2][2:4, 1:4] == 0).all()  # background-disposed
+        assert got[2][0, 0] == 9
