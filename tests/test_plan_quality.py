@@ -131,3 +131,15 @@ def test_partition_pruning_on_cell_bucketed_corpus(spark, tmp_path):
     read_files = clipped.select(F.input_file_name()).distinct().count()
     assert read_files < all_files
     assert all(f"p_cell={target}" in r[0] for r in clipped.select(F.input_file_name()).distinct().collect())
+
+
+def test_odk_convert_engine_stays_jvm_side(spark):
+    """The full ODK->OSM conversion engine (sources/odk_convert.py)
+    compiles to pure Catalyst expressions: zero Python eval boundaries of
+    either kind in the executed plan."""
+    from osm_merge_spark.queries import REGISTRY
+
+    df = REGISTRY["q_odk_multiple"][0](spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
