@@ -445,23 +445,41 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
         + [(n, r, 1) for r in range(n)]
     )
     sweeps: list[dict] = []
+    storm_abort = False
     for sweep in range(max_sweeps):
         cur: dict = {"__n": n}
         aborted = False
         for k, r, i in tasks:
             cur[(k, r, i)] = _run_once(r, k)
-            # mid-sweep budget break: discard the partial sweep, the
-            # completed ones stand (>=2 exist by construction)
-            if sweep >= 2 and time.time() - t_start > budget_s:
+            elapsed = time.time() - t_start
+            # budget enforcement INSIDE the sweep, tiered by how much
+            # evidence already exists — in a storm (task walls many × the
+            # clean-window values) a sweep can dwarf the whole budget, and
+            # r4's first two-corpus run learned the hard way that letting
+            # sweeps 0-1 run unconditionally can blow past the caller's
+            # subprocess timeout and lose the ENTIRE artifact.  A partial
+            # sweep is discarded; completed sweeps stand (refusal
+            # semantics cover the under-measured cases).
+            if (len(sweeps) >= 1 and elapsed > budget_s) or elapsed > 1.5 * budget_s:
                 aborted = True
                 break
         if aborted:
+            storm_abort = not sweeps
             break
         sweeps.append(cur)
-        if sweep + 1 >= repeats and min(_sweep_balance(s, k4) for s in sweeps) <= balance:
+        if len(sweeps) >= repeats and min(_sweep_balance(s, k4) for s in sweeps) <= balance:
             break
-        if sweep + 1 >= 2 and time.time() - t_start > budget_s:
+        if len(sweeps) >= 2 and time.time() - t_start > budget_s:
             break
+    if storm_abort:
+        # not even ONE complete sweep inside 1.5× the budget: emit an
+        # explicit storm verdict instead of dying on the caller's timeout
+        return None, None, {
+            "storm_abort": True,
+            "balance_gate": balance,
+            "balance_gate_met": False,
+            "sweeps_run": 0,
+        }
     def total(s):
         return sum(run["secs"] for key, run in s.items() if key != "__n")
 
@@ -537,6 +555,19 @@ def main() -> None:
             _pool_stop()
     else:
         a, b = run_fleet(n), run_fleet(4 * n)
+    if a is None:  # storm abort: no complete sweep — refusal artifact
+        print(json.dumps({
+            "n_executors": n, "mode": mode,
+            "scaling_efficiency": None,
+            "scaling_rejection": (
+                "storm abort: not one complete sweep finished inside 1.5× "
+                "the wall budget — task walls were many × their clean-window "
+                "values; no efficiency is claimable from this window"
+            ),
+            **gate,
+            "protocol": "multi-executor simulation (storm-aborted before any complete sweep)",
+        }))
+        return
     print(json.dumps({
         **claim(a, b, gate, mode, n),
         **gate,

@@ -133,13 +133,64 @@ def test_efficiency_computation_matches_main_formula(monkeypatch):
     assert abs(eff - (100_000 / 15.8) / (100_000 / 60.0) / 4) < 1e-3
 
 
-def test_wall_budget_bounds_sweeps(monkeypatch):
-    # a persistent imbalance would run to the 6-sweep cap; an exhausted
-    # wall budget stops after the 2-sweep floor with the sweeps in hand
+def test_wall_budget_zero_storm_aborts(monkeypatch):
+    # r4: budget enforcement is tiered and applies INSIDE every sweep — a
+    # zero budget can't even finish one sweep, so the loop returns the
+    # explicit storm-abort refusal instead of dying on the caller's
+    # subprocess timeout (which is how the first r4 two-corpus run lost
+    # its replicas-8 artifact entirely)
     box, a, b, gate = _run(
         monkeypatch, lambda i: 1.5 if i % 6 == 3 else 1.0, SPARK_GRAFT_SCALE_BUDGET_S=0
     )
-    assert len(box.calls) == 12
+    assert a is None and b is None
+    assert gate["storm_abort"] is True and gate["sweeps_run"] == 0
+
+
+class _Clock:
+    def __init__(self, t0=1000.0):
+        self.t = t0
+
+    def time(self):
+        return self.t
+
+
+def _run_timed(monkeypatch, budget, drift=lambda i: 1.0):
+    """DriftBox whose task walls ADVANCE a fake clock, so the wall-budget
+    tiers are exercised with realistic elapsed times."""
+    import types
+
+    clock = _Clock()
+    box = DriftBox(drift)
+    real = box.__call__
+
+    def timed(rank, k):
+        out = real(rank, k)
+        clock.t += out["secs"]
+        return out
+
+    monkeypatch.setattr(SB, "_run_once", timed)
+    monkeypatch.setattr(SB, "time", types.SimpleNamespace(time=clock.time))
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_BUDGET_S", str(budget))
+    a, b, gate = SB.run_scaling_interleaved(1)
+    return box, a, b, gate
+
+
+def test_budget_break_after_one_sweep(monkeypatch):
+    # sweep 0 (181.5 s) fits a 200 s budget; sweep 1's first task crosses
+    # it -> the loop stops with the one complete sweep in hand (its own
+    # balance gate still decides whether the claim is refused)
+    box, a, b, gate = _run_timed(monkeypatch, budget=200)
+    assert gate["sweeps_run"] == 1
+    assert len(box.calls) == 7  # 6 tasks of sweep 0 + the aborted task
+    assert a is not None
+
+
+def test_storm_abort_mid_first_sweep(monkeypatch):
+    # 1.5x a 100 s budget lands inside sweep 0 -> storm abort, no claim
+    box, a, b, gate = _run_timed(monkeypatch, budget=100)
+    assert a is None
+    assert gate["storm_abort"] is True
+    assert len(box.calls) == 6  # aborted at the final bookend
 
 
 def test_claim_refuses_unbalanced_sweep(monkeypatch):
