@@ -197,8 +197,16 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
         )
         for q in sweeps[0]["timings"]
     }
+    # absolute phase context (NOT a gate): the probe's clean-window wall
+    # is ~2.6 s on this box (BENCH/BASELINE.md) — the factor tells the
+    # reader how degraded the machine was even when the sweep was
+    # internally consistent (rehearsal 2: gate met at factor ~1.9, so the
+    # claimed walls are ~1.9× a clean window's)
+    clean_ref = float(os.environ.get("SPARK_GRAFT_PROBE_CLEAN_S", "2.6"))
     gate_info = {
         "headline_sweeps_run": len(sweeps),
+        "headline_probe_clean_ref_s": clean_ref,
+        "headline_phase_factor": round(min(chosen["probes"]) / clean_ref, 2),
         "headline_probe_gate": gate,
         "headline_probe_secs": chosen["probes"],
         "headline_probe_ratio": chosen["ratio"],
@@ -249,7 +257,7 @@ def run_scaling(replicas: int | None = None, budget_s: int | None = None) -> dic
               "per_exec_4n", "scaling_efficiency", "balance_4n",
               "balance_gate", "balance_gate_met", "sweeps_run",
               "scaling_efficiency_rejected", "scaling_rejection",
-              "storm_abort"):
+              "storm_abort", "orchestrator_error"):
         if k in fleet:
             out[k] = fleet[k]
     return out

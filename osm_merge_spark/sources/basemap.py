@@ -301,8 +301,6 @@ def zoom_list(zooms) -> list[int]:
 
 
 def _tile_x(lon: float, z: int) -> int:
-    import math
-
     return min((1 << z) - 1, max(0, int(((lon + 180.0) / 360.0) * (1 << z))))
 
 

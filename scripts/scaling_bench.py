@@ -450,7 +450,17 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
         cur: dict = {"__n": n}
         aborted = False
         for k, r, i in tasks:
-            cur[(k, r, i)] = _run_once(r, k)
+            try:
+                cur[(k, r, i)] = _run_once(r, k)
+            except Exception:
+                # a task failed even after its one daemon respawn (storm
+                # walls past the task timeout, OOM-kill loop, ...) — the
+                # sweep is unrecoverable; completed sweeps stand, zero
+                # completed sweeps becomes the storm-abort refusal.  An
+                # unhandled raise here cost rehearsal 2 its replicas-8
+                # artifact (the orchestrator died with no JSON).
+                aborted = True
+                break
             elapsed = time.time() - t_start
             # budget enforcement INSIDE the sweep, tiered by how much
             # evidence already exists — in a storm (task walls many × the
@@ -551,6 +561,11 @@ def main() -> None:
         try:
             _pool_prewarm(n)
             a, b, gate = run_scaling_interleaved(n)
+        except Exception as e:
+            # last-resort refusal: the caller must ALWAYS get an artifact
+            a = b = None
+            gate = {"storm_abort": True, "sweeps_run": 0,
+                    "balance_gate_met": False, "orchestrator_error": str(e)[:200]}
         finally:
             _pool_stop()
     else:
