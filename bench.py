@@ -156,8 +156,13 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     t_start = time.time()
     sweeps: list[dict] = []
     for s in range(max_sweeps):
+        # three probes: bookends AND one right after the flagship — two
+        # bookends alone missed a storm confined to the flagship window
+        # (rehearsal 3: probes 3.4/3.9 s around a 342 s flagship whose
+        # clean wall is ~46 s)
         p0 = probe(spark)
         n_conflated, conflate_secs = run_conflation(spark, sf_dir)
+        p_mid = probe(spark)
         timings = {"q_conflate_flagship": round(conflate_secs, 3)}
         for name in HEADLINE:
             if name == "q_conflate_flagship":
@@ -169,13 +174,14 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
             timings[name] = round(time.time() - t0, 3)
         p1 = probe(spark)
         spark.catalog.clearCache()
+        ps = [p0, p_mid, p1]
         sweeps.append(
             {
                 "timings": timings,
                 "rows": n_conflated,
                 "rate": round(n_conflated / conflate_secs, 1),
-                "probes": [round(p0, 2), round(p1, 2)],
-                "ratio": round(max(p0, p1) / max(min(p0, p1), 1e-9), 3),
+                "probes": [round(p, 2) for p in ps],
+                "ratio": round(max(ps) / max(min(ps), 1e-9), 3),
                 "total": sum(timings.values()),
             }
         )

@@ -65,7 +65,7 @@ def test_selects_consistent_then_fastest(run):
     # sweep 0: probes 5/10 (ratio 2.0, storm) but FASTEST flagship;
     # sweeps 1-2 consistent; sweep 2 slower than sweep 1
     chosen, gate = run(
-        probes=[5.0, 10.0, 5.0, 5.1, 6.0, 6.1],
+        probes=[5.0, 7.0, 10.0, 5.0, 5.05, 5.1, 6.0, 6.05, 6.1],
         conflates=[10.0, 20.0, 25.0],
         SPARK_GRAFT_HEAD_SWEEPS=3,
     )
@@ -79,7 +79,7 @@ def test_selects_consistent_then_fastest(run):
 
 def test_refuses_when_no_sweep_consistent(run):
     chosen, gate = run(
-        probes=[5.0, 10.0, 5.0, 9.0, 5.0, 8.0],
+        probes=[5.0, 6.0, 10.0, 5.0, 6.0, 9.0, 5.0, 6.0, 8.0],
         conflates=[10.0, 11.0, 12.0],
         SPARK_GRAFT_HEAD_SWEEPS=3,
         SPARK_GRAFT_HEAD_MAX_SWEEPS=3,
@@ -93,7 +93,7 @@ def test_refuses_when_no_sweep_consistent(run):
 def test_storm_buys_extra_sweeps(run):
     # first 3 sweeps inconsistent -> a 4th runs and is chosen
     chosen, gate = run(
-        probes=[5.0, 10.0] * 3 + [5.0, 5.2],
+        probes=[5.0, 7.0, 10.0] * 3 + [5.0, 5.1, 5.2],
         conflates=[10.0, 11.0, 12.0, 13.0],
         SPARK_GRAFT_HEAD_SWEEPS=3,
     )
@@ -104,8 +104,20 @@ def test_storm_buys_extra_sweeps(run):
 
 def test_spread_reported_across_sweeps(run):
     _chosen, gate = run(
-        probes=[5.0, 5.0, 5.0, 5.0, 5.0, 5.0],
+        probes=[5.0] * 9,
         conflates=[10.0, 15.0, 12.0],
         SPARK_GRAFT_HEAD_SWEEPS=3,
     )
     assert gate["headline_query_spread"]["q_conflate_flagship"] == pytest.approx(1.5)
+
+
+def test_mid_sweep_storm_caught_by_third_probe(run):
+    # bookends 5.0/5.1 agree but the probe right after the flagship reads
+    # 20 -> the sweep is inconsistent (rehearsal 3's failure mode)
+    chosen, gate = run(
+        probes=[5.0, 20.0, 5.1, 5.0, 5.2, 5.1],
+        conflates=[10.0, 30.0],
+        SPARK_GRAFT_HEAD_SWEEPS=2,
+    )
+    assert gate["headline_gate_met"] is True
+    assert chosen["timings"]["q_conflate_flagship"] == 30.0  # sweep 2
