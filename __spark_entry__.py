@@ -48,40 +48,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-row rotation: the driver's CORRECTNESS artifact records only the
-# FIRST 50 registered queries, and the registry has grown past 50 — so the
-# ordering below moves the longest-stable queries (driver-green in BOTH the
-# r2 and r3 artifacts, plus judge-run exact matches every round) to the
-# tail, giving every never-yet-recorded or new query a driver row this
-# round.  Documented in README.md §Registry rotation.
+# Driver-row rotation (round 5 redesign): the driver's CORRECTNESS artifact
+# records only the FIRST 50 registered queries, and the registry has grown
+# past 50.  The ordering below is a MECHANICAL recency rule computed from the
+# recorded artifacts themselves — no hand-picked name list (r4 ADVICE:
+# submitter-curated sampling of the verification surface undermines the
+# evidence).  Rule, applied over registration order:
+#
+#   1. queries with NO driver row in any recorded round, or whose LATEST
+#      driver row is not green, come first (they need a fresh row);
+#   2. the rest are ordered by ascending last-recorded round (least recently
+#      recorded first), ties broken by registration order.
+#
+# The tail that falls outside the 50-row window is therefore always the
+# most-recently-green set, and the window round-robins the whole registry
+# across rounds: a query recorded green this round moves to the back next
+# round and cycles in again as others get recorded.  tests/
+# test_registry_rotation.py pins the invariants (every registry entry has a
+# driver row in the union of recorded rounds or sits in the current window;
+# every needs-a-row query is in-window; fail-loud if they can't all fit).
+# Documented in README.md §Registry rotation.
 # ---------------------------------------------------------------------------
-
-_STABLE_TAIL_POOL = [
-    "q_converter_mvum",
-    "q_converter_trails",
-    "q_converter_usgs",
-    "q_converter_blm",
-    "q_converter_nps",
-    "q_converter_local",
-    "q_converter_osmhw",
-    "q_schema_map_name",
-    "q_junk_tag_drop",
-    "q_opening_hours",
-    "q_tag_filter",
-    "q_ref_parse",
-    "q_fuzzy_match",
-    "q_count_validation",
-    "q_area_filter",
-]
 
 _DRIVER_ROW_CAP = 50
 
 
+def _driver_rows() -> dict[str, tuple[int, bool]]:
+    """name → (last recorded round, was that row green).  Green = no error
+    and none of rows/schema/hash compared false (None = the driver's weaker
+    rows-only check for no-oracle queries — still a recorded row)."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rows: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            green = not v.get("err") and all(
+                v.get(k) in (True, None)
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            prev = rows.get(name)
+            if prev is None or rnd >= prev[0]:
+                rows[name] = (rnd, green)
+    return rows
+
+
 def _rotated(names: list[str]) -> list[str]:
-    n_tail = max(0, len(names) - _DRIVER_ROW_CAP)
-    tail = [n for n in _STABLE_TAIL_POOL if n in names][:n_tail]
-    ts = set(tail)
-    return [n for n in names if n not in ts] + tail
+    try:
+        rows = _driver_rows()
+    except Exception:
+        return list(names)  # artifacts unreadable → plain registration order
+
+    def key(item: tuple[int, str]):
+        i, n = item
+        rec = rows.get(n)
+        needs_row = rec is None or not rec[1]
+        last_rnd = -1 if rec is None else rec[0]
+        return (1 if not needs_row else 0, last_rnd, i)
+
+    return [n for _, n in sorted(enumerate(names), key=lambda t: key(t))]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -21,6 +22,73 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# ---------------------------------------------------------------------------
+# Round-5 composition discipline (VERDICT r4 item 1): ONE total-wall budget
+# that every phase is allocated from, so the worst-case composition can never
+# exceed the caller's timeout; the artifact JSON line is emitted INCREMENTALLY
+# (after the headline phase, then re-emitted after each scaling phase — the
+# driver takes the LAST line), and a SIGTERM handler prints the current
+# best-so-far artifact, so a kill at any point leaves completed phases on
+# record instead of r4's rc=124/parsed:null.
+# ---------------------------------------------------------------------------
+TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_TOTAL_BUDGET_S", "3000"))
+_T0 = time.time()
+_DEADLINE = _T0 + TOTAL_BUDGET_S
+RESULT: dict = {}  # best-so-far artifact; _emit prints it, SIGTERM replays it
+PARTIAL: dict = {}  # mid-headline state for the SIGTERM handler
+
+
+def _remaining() -> float:
+    return _DEADLINE - time.time()
+
+
+def _emit(result: dict) -> None:
+    """Print the artifact line (newline-led so a stray progress \\r can never
+    prefix-corrupt it; the driver parses the last JSON line of output)."""
+    sys.stdout.write("\n" + json.dumps(result) + "\n")
+    sys.stdout.flush()
+
+
+def _headline_stub(note: str) -> dict:
+    return {
+        "metric": "conflated features/sec on synthetic OSM+external merge corpus",
+        "value": None,
+        "unit": "features/sec",
+        "queries": {},
+        "sf": SF_DIR,
+        "headline_gate_met": False,
+        "headline_note": note,
+    }
+
+
+def _on_sigterm(signum, frame):  # pragma: no cover - exercised via tests below
+    """Caller is killing us: flush the best-so-far artifact before dying.
+    RESULT is complete-phases-only; mid-headline we reconstruct from the
+    finished sweeps (never from a half-timed query)."""
+    if RESULT:
+        out = dict(RESULT)
+    elif PARTIAL.get("sweeps"):
+        chosen, gate_info = _select_headline(PARTIAL["sweeps"], PARTIAL["gate"])
+        gate_info["headline_gate_met"] = False
+        gate_info["headline_note"] = (
+            "SIGTERM mid-headline: best-so-far completed sweep recorded, "
+            "unclaimed as a clean-window measurement"
+        )
+        out = {
+            "metric": "conflated features/sec on synthetic OSM+external merge corpus",
+            "value": chosen["rate"],
+            "unit": "features/sec",
+            "queries": chosen["timings"],
+            "sf": SF_DIR,
+            "conflated_rows": chosen["rows"],
+            **gate_info,
+        }
+    else:
+        out = _headline_stub("SIGTERM before any complete headline sweep")
+    out["terminated_early"] = True
+    out["bench_elapsed_s"] = round(time.time() - _T0, 1)
+    _emit(out)
+    os._exit(143)
 # default sized to this box's measured effective parallelism for sustained
 # JVM+Arrow work (BENCH/BASELINE.md): beyond ~16 task slots one local JVM
 # anti-scales here; override with SPARK_GRAFT_CPUS
@@ -44,6 +112,8 @@ def build_spark(cores: int):
         .config("spark.driver.memory", "48g")
         .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr free of \r progress spam around the artifact lines
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
@@ -147,7 +217,13 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     """
     k_min = int(os.environ.get("SPARK_GRAFT_HEAD_SWEEPS", "3"))
     gate = float(os.environ.get("SPARK_GRAFT_HEAD_GATE", "1.2"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_HEAD_BUDGET_S", "1100"))
+    # the headline phase is allocated from the ONE total bench budget — its
+    # own env knob can only shrink the slice, never push the composition
+    # past the caller's timeout
+    budget_s = min(
+        float(os.environ.get("SPARK_GRAFT_HEAD_BUDGET_S", "1100")),
+        0.4 * TOTAL_BUDGET_S,
+    )
     max_sweeps = int(os.environ.get("SPARK_GRAFT_HEAD_MAX_SWEEPS", "6"))
     from osm_merge_spark.queries import REGISTRY
 
@@ -155,6 +231,8 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     prepare_corpus(spark, sf_dir)
     t_start = time.time()
     sweeps: list[dict] = []
+    PARTIAL["gate"] = gate
+    inweep_abort = False
     for s in range(max_sweeps):
         # three probes: bookends AND one right after the flagship — two
         # bookends alone missed a storm confined to the flagship window
@@ -164,17 +242,29 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
         n_conflated, conflate_secs = run_conflation(spark, sf_dir)
         p_mid = probe(spark)
         timings = {"q_conflate_flagship": round(conflate_secs, 3)}
+        aborted = False
         for name in HEADLINE:
             if name == "q_conflate_flagship":
                 continue
+            # tiered IN-sweep budget break (r5, VERDICT r4 item 8): with at
+            # least one complete sweep banked, a storm-stretched sweep is
+            # abandoned at 1.25× the budget; even the first sweep is cut at
+            # 1.6× and recorded partial — a sweep must never be able to eat
+            # the whole bench wall (r4's failure shape)
+            el = time.time() - t_start
+            if (sweeps and el > 1.25 * budget_s) or el > 1.6 * budget_s:
+                aborted = True
+                break
             fn, _sql = REGISTRY[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
-        p1 = probe(spark)
+        if aborted and sweeps:
+            inweep_abort = True
+            break  # discard the partial sweep; completed sweeps stand
+        ps = [p0, p_mid] if aborted else [p0, p_mid, probe(spark)]
         spark.catalog.clearCache()
-        ps = [p0, p_mid, p1]
         sweeps.append(
             {
                 "timings": timings,
@@ -183,14 +273,28 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
                 "probes": [round(p, 2) for p in ps],
                 "ratio": round(max(ps) / max(min(ps), 1e-9), 3),
                 "total": sum(timings.values()),
+                **({"partial": True} if aborted else {}),
             }
         )
+        PARTIAL["sweeps"] = sweeps
+        if aborted:
+            inweep_abort = True
+            break
         done_min = s + 1 >= k_min
         if done_min and any(sw["ratio"] <= gate for sw in sweeps):
             break
         if s + 1 >= 2 and time.time() - t_start > budget_s:
             break
-    consistent = [sw for sw in sweeps if sw["ratio"] <= gate]
+    chosen, gate_info = _select_headline(sweeps, gate)
+    if inweep_abort:
+        gate_info["headline_insweep_abort"] = True
+    return chosen, gate_info
+
+
+def _select_headline(sweeps: list[dict], gate: float) -> tuple[dict, dict]:
+    """Consistency-then-fastest selection over completed sweeps (shared by
+    run_headline and the SIGTERM partial-artifact path)."""
+    consistent = [sw for sw in sweeps if sw["ratio"] <= gate and not sw.get("partial")]
     if consistent:
         chosen = min(consistent, key=lambda sw: sw["total"])
     else:
@@ -232,7 +336,8 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     return chosen, gate_info
 
 
-def run_scaling(replicas: int | None = None, budget_s: int | None = None) -> dict:
+def run_scaling(replicas: int | None = None, budget_s: int | None = None,
+                wall_s: float | None = None) -> dict:
     """N→4N executor scaling via the multi-executor fleet protocol
     (scripts/scaling_bench.py, isolated mode — each executor measured on
     dedicated hardware as real cluster nodes would be; see BENCH/BASELINE.md
@@ -246,14 +351,19 @@ def run_scaling(replicas: int | None = None, budget_s: int | None = None) -> dic
     env = {**os.environ, "SPARK_GRAFT_SKIP_SCALING": "1"}
     if replicas is not None:
         env["SPARK_GRAFT_SCALE_REPLICAS"] = str(replicas)
-    if budget_s is not None:
-        env["SPARK_GRAFT_SCALE_BUDGET_S"] = str(budget_s)
+    # the env budget is ALWAYS set from the same value the timeouts derive
+    # from (r4 ADVICE: the default-arg path used to leave the child on its
+    # own 3600 s default while the caller timed out at a smaller number)
+    budget_s = budget_s if budget_s is not None else 1200
+    env["SPARK_GRAFT_SCALE_BUDGET_S"] = str(int(budget_s))
+    # total child wall (prepare + prewarm + sweeps): the child clamps every
+    # internal wait to this deadline and prints its refusal JSON before it
+    # elapses; the subprocess timeout is a dead-process backstop just above
+    wall_s = wall_s if wall_s is not None else 1.5 * budget_s + 600
+    env["SPARK_GRAFT_SCALE_WALL_S"] = str(int(wall_s))
     r = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "scaling_bench.py")],
-        # headroom above the sweep loop's own hard break (1.5× budget +
-        # one in-flight task + prepare) — the loop now always returns an
-        # artifact, so this timeout is a dead-process backstop only
-        capture_output=True, text=True, timeout=1.5 * (budget_s or 2400) + 2700,
+        capture_output=True, text=True, timeout=wall_s + 120,
         env=env,
     )
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
@@ -283,51 +393,89 @@ HEADLINE = [
 ]
 
 
+def _phase_budget(prep_allow_s: float, cap_s: float, reserve_s: float = 90.0) -> tuple[float, float] | None:
+    """Allocate (budget_s, wall_s) for one scaling phase out of the remaining
+    total wall.  wall = prep_allow + 1.5·budget must fit inside what's left
+    minus a reserve for emitting the artifact; returns None when the floor
+    (240 s of sweep budget) no longer fits — the phase is then skipped with
+    an explicit note rather than risking the whole-artifact kill."""
+    rem = _remaining() - reserve_s
+    budget = (rem - prep_allow_s) / 1.5
+    if budget < 240:
+        return None
+    budget = min(budget, cap_s)
+    return budget, prep_allow_s + 1.5 * budget
+
+
 def main() -> None:
+    global RESULT
+    signal.signal(signal.SIGTERM, _on_sigterm)
     spark = build_spark(CPUS)
     chosen, gate_info = run_headline(spark, SF_DIR)
     spark.stop()
 
-    result = {
+    RESULT = {
         "metric": "conflated features/sec on synthetic OSM+external merge corpus",
         "value": chosen["rate"],
         "unit": "features/sec",
         "queries": chosen["timings"],
         "sf": SF_DIR,
         "conflated_rows": chosen["rows"],
+        "bench_total_budget_s": TOTAL_BUDGET_S,
         **gate_info,
     }
+    # artifact line #1: the headline phase stands on record from here on,
+    # whatever happens to the scaling phases
+    _emit(RESULT)
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        # primary claim of record: the work-dominated corpus (2× headline)
-        try:
-            result.update(run_scaling(replicas=8, budget_s=1800))
-        except Exception as e:  # scaling evidence is additive, never fatal
-            result["scaling_error"] = str(e)[:200]
+        # primary claim of record: the work-dominated corpus (2× headline);
+        # its corpus + strip tables are built inside the child (≤ ~600 s)
+        alloc = _phase_budget(prep_allow_s=600, cap_s=1500)
+        if alloc is None:
+            RESULT["scaling_skipped"] = (
+                "insufficient wall budget remaining after the headline phase; "
+                "no scaling run attempted (artifact preserved instead)"
+            )
+        else:
+            try:
+                RESULT.update(run_scaling(replicas=8, budget_s=alloc[0], wall_s=alloc[1]))
+            except Exception as e:  # scaling evidence is additive, never fatal
+                RESULT["scaling_error"] = str(e)[:200]
+        _emit(RESULT)  # artifact line #2
         # fixed-cost evidence: same protocol at half the corpus — efficiency
         # should be at or below the primary's (overhead weighs more at the
-        # small end; the 100 TB regime is the large end)
-        try:
-            small = run_scaling(replicas=4, budget_s=1000)
-            result["scaling_smaller_corpus"] = {
-                k: small[k]
-                for k in (
-                    "rate_n", "rate_4n", "wall_n", "wall_4n", "per_exec_4n",
-                    "scaling_efficiency", "balance_4n", "balance_gate_met",
-                    "sweeps_run",
-                )
-                if k in small
-            }
-            for k in ("scaling_efficiency_rejected", "scaling_rejection"):
-                if k in small:
-                    result["scaling_smaller_corpus"][k] = small[k]
-            result["scaling_corpus_replicas"] = {"primary": 8, "smaller": 4}
-            result["scaling_efficiency_by_corpus"] = {
-                "replicas_4": small.get("scaling_efficiency"),
-                "replicas_8": result.get("scaling_efficiency"),
-            }
-        except Exception as e:
-            result["scaling_smaller_corpus_error"] = str(e)[:200]
-    print(json.dumps(result))
+        # small end; the 100 TB regime is the large end).  Corpus == the
+        # headline's (replicas 4), already materialized → small prep allow.
+        alloc = _phase_budget(prep_allow_s=240, cap_s=900)
+        if alloc is None:
+            RESULT["scaling_smaller_corpus_skipped"] = (
+                "insufficient wall budget remaining for the smaller-corpus "
+                "fixed-cost phase"
+            )
+        else:
+            try:
+                small = run_scaling(replicas=4, budget_s=alloc[0], wall_s=alloc[1])
+                RESULT["scaling_smaller_corpus"] = {
+                    k: small[k]
+                    for k in (
+                        "rate_n", "rate_4n", "wall_n", "wall_4n", "per_exec_4n",
+                        "scaling_efficiency", "balance_4n", "balance_gate_met",
+                        "sweeps_run",
+                    )
+                    if k in small
+                }
+                for k in ("scaling_efficiency_rejected", "scaling_rejection"):
+                    if k in small:
+                        RESULT["scaling_smaller_corpus"][k] = small[k]
+                RESULT["scaling_corpus_replicas"] = {"primary": 8, "smaller": 4}
+                RESULT["scaling_efficiency_by_corpus"] = {
+                    "replicas_4": small.get("scaling_efficiency"),
+                    "replicas_8": RESULT.get("scaling_efficiency"),
+                }
+            except Exception as e:
+                RESULT["scaling_smaller_corpus_error"] = str(e)[:200]
+        RESULT["bench_elapsed_s"] = round(time.time() - _T0, 1)
+        _emit(RESULT)  # artifact line #3 (final)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,20 @@ def main(names: list[str]) -> int:
             problems.append(f"row count: spark={len(got)} duckdb={len(exp)}")
         else:
             cols = sorted(got.columns)
+            # result-TYPE equality (r5, VERDICT r4 item 5): the driver's value
+            # hash is type-sensitive — DuckDB typing an integer SUM as
+            # DECIMAL/HUGEINT lands in pandas as float64 while Spark returns
+            # int64, hashing differently even when values agree.  Comparing
+            # pandas dtype kinds catches that locally before the driver does.
+            # (kind, not dtype: int32-vs-int64 both render identically in the
+            # driver's value serialization; int-vs-float does not.)
+            for c in cols:
+                gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+                if gk != ek and not {gk, ek} <= {"i", "u"}:
+                    problems.append(
+                        f"col {c}: dtype kind differs: spark={got[c].dtype} "
+                        f"duckdb={exp[c].dtype} — driver hash will mismatch; cast in the SQL twin"
+                    )
             g = got[cols].sort_values(cols).reset_index(drop=True)
             e = exp[cols].sort_values(cols).reset_index(drop=True)
             for c in cols:

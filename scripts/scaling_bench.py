@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -51,6 +52,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Absolute wall deadline for the WHOLE orchestrator process (prepare +
+# prewarm + sweeps), set by _arm_wall_deadline() from SPARK_GRAFT_SCALE_WALL_S
+# (bench.py sizes its subprocess timeout just above it).  Every blocking wait
+# below clamps to it, so the refusal JSON always prints before the caller's
+# kill — the r4 failure was exactly a task whose composed internal timeouts
+# (run 1800 s + respawn wait_ready 900 s + retry 1800 s) exceeded the
+# caller's window (ADVICE r4, medium).
+_WALL_DEADLINE: float | None = None
+
+
+def _wall_left(default: float = 1e9) -> float:
+    return default if _WALL_DEADLINE is None else _WALL_DEADLINE - time.time()
+
+
+def _clamp_wait(want: float, floor: float = 10.0) -> float:
+    """Clamp a blocking-wait timeout to the remaining process wall (leaving
+    30 s to print the refusal artifact).  Unarmed (standalone import / unit
+    tests) the wait is returned untouched."""
+    if _WALL_DEADLINE is None:
+        return want
+    return max(floor, min(want, _wall_left(want) - 30.0))
 WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp/oms_bench")
 # The scaling experiment uses its OWN corpus size (default 2× the headline
 # bench corpus): per-rank fixed cost (~2.5 s driver/job overhead, measured
@@ -281,14 +304,14 @@ class _Daemon:
             buf += chunk
 
     def wait_ready(self, timeout: float = 900) -> None:
-        msg = self._read_json(timeout)
+        msg = self._read_json(_clamp_wait(timeout))
         if not msg.get("ready"):
             raise RuntimeError(f"unexpected daemon handshake: {msg}")
 
     def run(self, timeout: float = 1800) -> dict:
         self.p.stdin.write("RUN\n")
         self.p.stdin.flush()
-        return self._read_json(timeout)
+        return self._read_json(_clamp_wait(timeout))
 
     def stop(self) -> None:
         try:
@@ -346,6 +369,12 @@ def _run_once(rank: int, k: int) -> dict:
                 d.p.kill()
             except Exception:
                 pass
+        if _wall_left() < 180:
+            # a respawn costs warmup + a full re-run; with the wall nearly
+            # spent, fail the sweep now so the refusal JSON still prints
+            raise TimeoutError(
+                f"wall budget exhausted before respawning k={k} rank={rank}"
+            )
         return _pool_daemon(rank, k).run()
 
 
@@ -470,7 +499,11 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
             # subprocess timeout and lose the ENTIRE artifact.  A partial
             # sweep is discarded; completed sweeps stand (refusal
             # semantics cover the under-measured cases).
-            if (len(sweeps) >= 1 and elapsed > budget_s) or elapsed > 1.5 * budget_s:
+            if (
+                (len(sweeps) >= 1 and elapsed > budget_s)
+                or elapsed > 1.5 * budget_s
+                or _wall_left() < 120
+            ):
                 aborted = True
                 break
         if aborted:
@@ -545,6 +578,26 @@ def claim(a: dict, b: dict, gate: dict, mode: str, n: int) -> dict:
     return out
 
 
+def _arm_wall_deadline() -> None:
+    global _WALL_DEADLINE
+    wall = os.environ.get("SPARK_GRAFT_SCALE_WALL_S")
+    if wall is None:
+        # standalone invocation: derive from the sweep budget the same way
+        # bench.py does (1.5× sweep budget + prepare/prewarm allowance)
+        wall = 1.5 * float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "3600")) + 900
+    _WALL_DEADLINE = time.time() + float(wall)
+
+
+def _refusal(n: int, mode: str, gate: dict, why: str) -> dict:
+    return {
+        "n_executors": n, "mode": mode,
+        "scaling_efficiency": None,
+        "scaling_rejection": why,
+        **gate,
+        "protocol": "multi-executor simulation (aborted before any complete sweep)",
+    }
+
+
 def main() -> None:
     _apply_scale_env()
     if len(sys.argv) >= 4 and sys.argv[1] == "--executor":
@@ -553,12 +606,28 @@ def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--daemon":
         executor_daemon(int(sys.argv[2]), int(sys.argv[3]))
         return
-    prepare()
+    _arm_wall_deadline()
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "isolated")
+
+    def _on_sigterm(signum, frame):  # caller is killing us: refuse, visibly
+        print(json.dumps(_refusal(
+            n, mode,
+            {"storm_abort": True, "sweeps_run": 0, "balance_gate_met": False},
+            "SIGTERM before any complete sweep could be recorded",
+        )), flush=True)
+        os._exit(143)
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
     gate = {}
     if mode == "isolated":
         try:
+            # prepare() is INSIDE the always-an-artifact envelope (r5): a
+            # corpus-build failure or wall exhaustion during prepare used to
+            # kill the process with no JSON at all
+            prepare()
+            if _wall_left() < 180:
+                raise TimeoutError("wall budget exhausted during prepare()")
             _pool_prewarm(n)
             a, b, gate = run_scaling_interleaved(n)
         except Exception as e:
@@ -569,6 +638,7 @@ def main() -> None:
         finally:
             _pool_stop()
     else:
+        prepare()
         a, b = run_fleet(n), run_fleet(4 * n)
     if a is None:  # storm abort: no complete sweep — refusal artifact
         print(json.dumps({
