@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import png
+from ..functions import mjpeg, png
 
 # ---------------------------------------------------------------------------
 # Tile-ref math (z/y/x strings ↔ columns; Bing quadkey)
@@ -182,6 +182,42 @@ def synth_apng_payload(ref: pd.Series) -> pd.Series:
     return synth_apng_batch(ref)
 
 
+def synth_mjpeg_batch(refs: pd.Series) -> pd.Series:
+    """Deterministic VALID MJPEG AVI per ref: md5(ref) seeds the block-grid
+    dims (wb = 1+b0%3, hb = 1+b1%2 → w = 8·wb, h = 8·hb), base shade b2,
+    frame count 2+b3%4, fps 5+b4%10; frame k's 8×8 block (i, j) is the
+    constant (b2 + 17k + 5i + 3j) % 256.  Block-constant frames round-trip
+    the baseline JPEG bit-exactly (flat-8 quant table — see
+    functions/mjpeg.py), so the DuckDB oracle (q_mjpeg_frames) recomputes
+    the DECODED pixel hash from this arithmetic in closed form."""
+    import hashlib
+
+    out = []
+    for ref in refs:
+        d = hashlib.md5(str(ref).encode()).hexdigest()
+        b0, b1, b2, b3, b4 = (int(d[2 * i : 2 * i + 2], 16) for i in range(5))
+        wb, hb = 1 + b0 % 3, 1 + b1 % 2
+        nf, fps = 2 + b3 % 4, 5 + b4 % 10
+        i = np.arange(hb)[:, None]
+        j = np.arange(wb)[None, :]
+        frames = [
+            mjpeg.encode_jpeg_gray(
+                np.kron(
+                    ((b2 + 17 * k + 5 * i + 3 * j) % 256).astype(np.uint8),
+                    np.ones((8, 8), dtype=np.uint8),
+                )
+            )
+            for k in range(nf)
+        ]
+        out.append(mjpeg.encode_mjpeg_avi(frames, fps=fps, w=8 * wb, h=8 * hb))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_mjpeg_payload(ref: pd.Series) -> pd.Series:
+    return synth_mjpeg_batch(ref)
+
+
 # ---------------------------------------------------------------------------
 # Resize + frame-sample plumbing (decode stubs, real distributed shape)
 # ---------------------------------------------------------------------------
@@ -259,12 +295,17 @@ def sample_frames(media: DataFrame, every_n: int = 4, fps: float = 30.0) -> Data
     timing, and ``frame_sig`` is the position-weighted polynomial hash of
     the decoded pixels — value-checked by the q_apng_frames oracle.
 
-    Other video containers (mp4/webm, whose codecs genuinely aren't in
-    this environment) keep the deterministic STUB: frame count derived
-    from the payload bytes, md5 stand-in signature, ``idx/fps`` timing —
-    the fan-out shape (explode inside Arrow batches, no driver
-    involvement, schema-stable) is exactly what an ffmpeg-backed sampler
-    drops into."""
+    MJPEG/AVI payloads (round 5) also go through a REAL path: RIFF demux
+    (``functions/mjpeg.py``), per-frame baseline-JPEG decode, ``t_offset``
+    from the stream header's actual rate/scale pair, and the same
+    decoded-pixel hash — value-checked by the q_mjpeg_frames oracle.
+
+    Other video containers (mp4/webm, whose codecs — H.264/VP9 — genuinely
+    aren't bounded spec jobs and aren't in this environment) keep the
+    deterministic STUB: frame count derived from the payload bytes, md5
+    stand-in signature, ``idx/fps`` timing — the fan-out shape (explode
+    inside Arrow batches, no driver involvement, schema-stable) is exactly
+    what an ffmpeg-backed sampler drops into."""
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -283,6 +324,16 @@ def sample_frames(media: DataFrame, every_n: int = 4, fps: float = 30.0) -> Data
                         flat = plane.astype(np.int64).reshape(-1)
                         sig = int((flat * (np.arange(flat.size) + 1)).sum() % _SIG_MOD)
                         rows.append((doc_id, ref, idx, round(offsets[idx], 4), str(sig)))
+                    continue
+                if mjpeg.is_avi(blob):
+                    jframes, vfps = mjpeg.decode_mjpeg_avi(bytes(blob))
+                    for idx in range(0, len(jframes), every_n):
+                        plane = mjpeg.decode_jpeg_gray(jframes[idx])
+                        flat = plane.astype(np.int64).reshape(-1)
+                        sig = int((flat * (np.arange(flat.size) + 1)).sum() % _SIG_MOD)
+                        rows.append(
+                            (doc_id, ref, idx, round(idx / vfps, 4), str(sig))
+                        )
                     continue
                 b = np.frombuffer(blob if blob is not None else b"\x00", dtype=np.uint8)
                 hs = int(b[: min(64, len(b))].sum())

@@ -322,9 +322,10 @@ def bbox_tiles(spark, bbox: tuple[float, float, float, float], zooms, chunk: int
     loop (`basemapper.py:391`).
 
     The per-zoom x/y index ranges are four scalar driver-side formulas; the
-    expansion itself is JVM-side ``sequence``+``explode``, two-level (x is
-    chunked) so no single generated array exceeds ``chunk`` entries — a
-    z≤19 planet-scale work list stays partitionable.  East/south edges
+    expansion itself is JVM-side ``sequence``+``explode``, two-level on BOTH
+    axes (x and y are each chunked) so no single generated array exceeds
+    ``chunk`` entries — a z≤19 planet-scale work list (~524k tiles per axis)
+    stays partitionable.  East/south edges
     exactly on a tile boundary get an epsilon pull-in (mercantile's
     LL_EPSILON behavior), so an aligned bbox doesn't enumerate an extra
     row/column of tiles."""
@@ -351,7 +352,17 @@ def bbox_tiles(spark, bbox: tuple[float, float, float, float], zooms, chunk: int
             "y1",
             F.explode(F.sequence(F.col("xc"), F.least(F.col("xc") + (chunk - 1), F.col("x1")))).alias("x"),
         )
-        .select("z", "x", F.explode(F.sequence(F.col("y0"), F.col("y1"))).alias("y"))
+        .select(
+            "z",
+            "x",
+            "y1",
+            F.explode(F.sequence(F.col("y0"), F.col("y1"), F.lit(int(chunk)))).alias("yc"),
+        )
+        .select(
+            "z",
+            "x",
+            F.explode(F.sequence(F.col("yc"), F.least(F.col("yc") + (chunk - 1), F.col("y1")))).alias("y"),
+        )
     )
     return out
 

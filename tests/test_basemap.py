@@ -178,6 +178,19 @@ def test_bbox_tiles_chunked_expansion(spark):
     assert len(set(xs)) == len(xs)
 
 
+def test_bbox_tiles_chunked_expansion_y_axis(spark):
+    # r4 ADVICE: the y explode used to be a single unchunked sequence —
+    # a tall bbox with chunk smaller than BOTH ranges must still enumerate
+    # every (x, y) exactly once (matching the scalar oracle)
+    bbox = (-106.0, 35.0, -105.5, 40.0)
+    rows = BM.bbox_tiles(spark, bbox, 10, chunk=3).collect()
+    got = sorted((r.x, r.y) for r in rows)
+    want = sorted((x, y) for _z, x, y in _ref_tiles(*bbox, 10))
+    assert got == want
+    ys = {y for _x, y in got}
+    assert len(ys) > 3  # the y-range genuinely exceeds the chunk
+
+
 def test_custom_tms_template():
     site = BM.custom_tms("https://maps.nyc.gov/xyz/1.0.0/carto/basemap/{z}/{x}/{y}.jpg", xy=True)
     assert site["suffix"] == "jpg"
