@@ -339,6 +339,12 @@ def _decode_scan(scan, h, w, qtbl, dc_tbl, ac_tbl) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def is_jpeg(blob: bytes | None) -> bool:
+    """SOI followed by another marker byte — cheap sniff; callers decode
+    under try/except since a sniff can't prove baseline-greyscale."""
+    return blob is not None and len(blob) >= 4 and bytes(blob[:3]) == b"\xff\xd8\xff"
+
+
 def is_avi(blob: bytes | None) -> bool:
     return (
         blob is not None

@@ -85,22 +85,43 @@ def _gray_plane(img: np.ndarray) -> np.ndarray:
 
 
 def decode_media_batch(payload: pd.Series) -> pd.DataFrame:
-    """Media decode: PNG payloads are decoded FOR REAL (pure-python codec,
-    `functions/png.py` — IHDR dims, zlib inflate, full filter-set
-    unfiltering); the 8-dim feature is the first 8 pixels of the luminance
-    plane (wrapped, /255) — the verification contract where a learned
-    embedder would drop in.  Non-PNG payloads (JPEG video containers etc.,
-    whose codecs genuinely aren't in this container) keep the deterministic
-    fake so the plumbing stays testable; that remainder is the only stub
-    left."""
+    """Media decode: PNG, baseline-greyscale JPEG, and MJPEG/AVI (first
+    frame) payloads are decoded FOR REAL (pure-python codecs,
+    `functions/png.py` + `functions/mjpeg.py`); the 8-dim feature is the
+    first 8 pixels of the luminance plane (wrapped, /255) — the
+    verification contract where a learned embedder would drop in.
+
+    Everything else (mp4/webm, whose codecs genuinely aren't in this
+    container) keeps the deterministic fake, and a payload that *sniffs* as
+    JPEG/AVI but fails to parse degrades to the same deterministic stub
+    (corrupt-file tolerance: a real pipeline quarantines the row, this one
+    stays schema-stable and deterministic)."""
+
+    def _real(blob) -> tuple[int, int, list] | None:
+        try:
+            if png.is_png(blob):
+                plane = _gray_plane(png.decode_png(bytes(blob)))
+            elif mjpeg.is_jpeg(blob):
+                plane = mjpeg.decode_jpeg_gray(bytes(blob))
+            elif mjpeg.is_avi(blob):
+                frames, _fps = mjpeg.decode_mjpeg_avi(bytes(blob))
+                if not frames:
+                    return None
+                plane = mjpeg.decode_jpeg_gray(frames[0])
+            else:
+                return None
+        except Exception:
+            return None
+        h, w = plane.shape
+        flat = plane.reshape(-1)
+        idx = np.arange(8) % flat.size
+        return (w, h, (flat[idx].astype(np.float32) / 255.0).tolist())
+
     feats = []
     for blob in payload:
-        if png.is_png(blob):
-            plane = _gray_plane(png.decode_png(bytes(blob)))
-            h, w = plane.shape
-            flat = plane.reshape(-1)
-            idx = np.arange(8) % flat.size
-            feats.append((w, h, (flat[idx].astype(np.float32) / 255.0).tolist()))
+        got = _real(blob)
+        if got is not None:
+            feats.append(got)
             continue
         b = np.frombuffer(blob if blob is not None else b"\x00", dtype=np.uint8)
         hs = int(b[: min(64, len(b))].sum())
@@ -238,20 +259,36 @@ _SIG_MOD = 1_000_000_007
 
 def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
     """Thumbnail/resize stage over (doc_id, media_ref, payload binary) via
-    ``mapInPandas``.  PNG payloads are REALLY resized: decode, aspect-
-    preserving integer dims, nearest-neighbor downsample over the luminance
-    plane, and ``thumb_sig`` is a position-weighted polynomial hash of the
-    RESIZED PIXELS (``Σ px·(pos+1) mod 1e9+7`` — SQL-reproducible, so the
-    oracle checks the actual resampled values).  Non-PNG payloads keep the
-    stub dims + md5-of-dims signature."""
+    ``mapInPandas``.  PNG, baseline JPEG, and MJPEG/AVI (first frame)
+    payloads are REALLY resized: decode, aspect-preserving integer dims,
+    nearest-neighbor downsample over the luminance plane, and ``thumb_sig``
+    is a position-weighted polynomial hash of the RESIZED PIXELS
+    (``Σ px·(pos+1) mod 1e9+7`` — SQL-reproducible, so the oracle checks
+    the actual resampled values).  Other payloads (and parse failures) keep
+    the stub dims + md5-of-dims signature."""
     import hashlib
+
+    def _plane(blob) -> np.ndarray | None:
+        """Real luminance plane for PNG / baseline JPEG / AVI first frame;
+        None (→ stub path) otherwise or on parse failure."""
+        try:
+            if png.is_png(blob):
+                return _gray_plane(png.decode_png(bytes(blob)))
+            if mjpeg.is_jpeg(blob):
+                return mjpeg.decode_jpeg_gray(bytes(blob))
+            if mjpeg.is_avi(blob):
+                frames, _fps = mjpeg.decode_mjpeg_avi(bytes(blob))
+                return mjpeg.decode_jpeg_gray(frames[0]) if frames else None
+        except Exception:
+            return None
+        return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
-                if png.is_png(blob):
-                    plane = _gray_plane(png.decode_png(bytes(blob)))
+                plane = _plane(blob)
+                if plane is not None:
                     h, w = plane.shape
                     out_w = min(w, max_dim)
                     out_h = max((h * out_w) // w, 1)

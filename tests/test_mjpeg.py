@@ -131,3 +131,36 @@ def test_synth_arithmetic_matches_decoded_pixel_hash():
                 for j in range(wb)
             ) % MOD
             assert got == want, (ref, idx)
+
+
+# ---------------------------------------------------------------------------
+# media kernels dispatch (decode_media_batch — pure pandas, no session)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_media_batch_real_jpeg_and_avi_dims():
+    import pandas as pd
+    from osm_merge_spark.operators.media import decode_media_batch
+
+    img = _block_img([[10, 20, 30], [40, 50, 60]])  # 16×24
+    jpg = MJ.encode_jpeg_gray(img)
+    avi = MJ.encode_mjpeg_avi([jpg], fps=10, w=24, h=16)
+    out = decode_media_batch(pd.Series([jpg, avi]))
+    assert list(out["width"]) == [24, 24] and list(out["height"]) == [16, 16]
+    # feature = first 8 luminance pixels / 255 → first block value 10
+    assert out["feature"][0][0] == pytest.approx(10 / 255.0)
+    assert out["feature"][1][0] == pytest.approx(10 / 255.0)
+
+
+def test_decode_media_batch_corrupt_sniff_degrades_to_stub():
+    import pandas as pd
+    from osm_merge_spark.operators.media import decode_media_batch
+
+    fake_jpeg = b"\xff\xd8\xffgarbage-that-is-not-a-jpeg"
+    stub = bytes(range(16))
+    out = decode_media_batch(pd.Series([fake_jpeg, stub]))
+    # both land on the deterministic stub arithmetic (hs byte-sum dims)
+    for i, blob in enumerate([fake_jpeg, stub]):
+        hs = sum(blob[:64])
+        assert out["width"][i] == 256 + hs % 256
+        assert out["height"][i] == 256 + (hs * 7) % 256
