@@ -267,3 +267,121 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 repetition filters):
+
+    - ``dup_word_frac``     — fraction of word occurrences that are repeats
+      (1 - distinct/total), pure Column math;
+    - ``top_bigram_frac``   — occurrence mass of the single most frequent
+      word 2-gram;
+    - ``dup_trigram_frac``  — occurrence mass of word 3-grams appearing
+      more than once.
+
+    Scale path: n-gram frequencies go through explode → groupBy
+    (doc_id, n, gram) — NOT the per-doc quadratic
+    ``transform(grams, g -> size(filter(grams, = g)))`` form, which is
+    O(len²) per document and melts on 100k-token docs.  The grouping key
+    (doc_id, n, gram) is near-unique so the shuffle is skew-free, and both
+    aggregations are map-side partial.  Bigrams and trigrams ride ONE
+    explode/shuffle via an ``n`` tag column.  Docs with < n words simply
+    contribute no rows and coalesce to 0.0.
+    """
+    toks = TX.tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.when(
+            F.size(toks) == 0, F.lit(0.0)
+        ).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("dup_word_frac"),
+        toks.alias("toks"),
+    )
+
+    def grams(n: int):
+        # zip_with over shifted slices: slice lengths clamp at 0 so short
+        # docs yield empty arrays instead of erroring
+        t = F.col("toks")
+        ln = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        g = F.slice(t, 1, ln)
+        for off in range(1, n):
+            g = F.zip_with(g, F.slice(t, 1 + off, ln), lambda a, b: F.concat(a, F.lit(" "), b))
+        return g
+
+    exploded = base.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.transform(grams(2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
+                    F.transform(grams(3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),
+                )
+            )
+        ).alias("ng"),
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.gram").alias("gram"))
+
+    per_gram = exploded.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    per_doc = per_gram.groupBy(id_col, "n").agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("dup_mass"),
+    )
+    wide = per_doc.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == 2, F.col("max_cnt") / F.col("total"))).alias("_top2"),
+        F.max(F.when(F.col("n") == 3, F.col("dup_mass") / F.col("total"))).alias("_dup3"),
+    )
+    return base.drop("toks").join(wide, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round(F.coalesce(F.col("_top2"), F.lit(0.0)), 6).alias("top_bigram_frac"),
+        F.round(F.coalesce(F.col("_dup3"), F.lit(0.0)), 6).alias("dup_trigram_frac"),
+    )
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iters: int = 25) -> DataFrame:
+    """Connected components over candidate duplicate pairs → (doc_id,
+    cluster_id) with ``cluster_id`` = the smallest member, the keeper.
+
+    This closes the dedup pipeline: LSH emits *pairs*, but keeping one doc
+    per transitive group needs components (A~B, B~C must retire two docs,
+    not one per pair).  Algorithm: alternating min-label propagation — each
+    round every vertex takes the min label among itself and its neighbors —
+    the simple member of the MapReduce-CC family (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14).  Rounds =
+    component diameter; near-dup clusters are near-cliques (diameter ~2),
+    so 2-3 rounds in practice.  Each round is one shuffle join on the
+    vertex id plus a min-agg, both map-side-partial; ``localCheckpoint``
+    cuts the iterative lineage so plans stay O(1) per round (on a real
+    cluster: ``checkpoint`` to the reliable store, same call shape).
+    Convergence is checked with a driver-side scalar (any label changed?),
+    not a collect of data."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct()
+        .select("v", F.col("v").alias("label"))
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels.withColumnRenamed("v", "src"), "src"
+        ).select(F.col("dst").alias("v"), "label")
+        new_labels = (
+            labels.unionByName(msgs).groupBy("v").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=False)
+        n_changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "v"
+            ).filter(F.col("label") != F.col("old")).limit(1).count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -3186,3 +3186,103 @@ def q_mjpeg_frames(spark, sf_dir):
         "payload", M.synth_mjpeg_payload("media_ref")
     )
     return M.sample_frames(media, every_n=2).orderBy("doc_id", "media_ref", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality signals (training-data pipeline layer)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_repetition_signals",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL.format(t="text")} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM t
+    ),
+    c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+    a AS (
+      SELECT doc_id, n, max(cnt) AS max_cnt, sum(cnt) AS total,
+             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_mass
+      FROM c GROUP BY doc_id, n
+    ),
+    w AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN CAST(max_cnt AS DOUBLE) / total END) AS top2,
+             max(CASE WHEN n = 3 THEN CAST(dup_mass AS DOUBLE) / total END) AS dup3
+      FROM a GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 END, 6) AS dup_word_frac,
+           round(coalesce(top2, 0.0), 6) AS top_bigram_frac,
+           round(coalesce(dup3, 0.0), 6) AS dup_trigram_frac
+    FROM t LEFT JOIN w USING (doc_id) ORDER BY t.doc_id
+    """,
+)
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters (dup-word fraction, top-bigram mass,
+    duplicated-trigram mass) via the explode→groupBy n-gram pipeline — the
+    scale-correct form (never per-doc quadratic array scans)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.repetition_signals(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over MinHash-LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_BAND_PAIRS_CORE = f"""
+    h AS (SELECT doc_id, {_TOKHASH_SQL} AS hs FROM documents),
+    sig AS (SELECT doc_id, {", ".join(_mh_sql(i) for i in range(4))} FROM h),
+    banded AS (
+      SELECT doc_id, 0 AS band, CAST(mh0 AS BIGINT) * 2147483647 + mh1 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, CAST(mh2 AS BIGINT) * 2147483647 + mh3 AS bucket FROM sig
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_BAND_PAIRS_CORE},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(v, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+    FROM reach GROUP BY v ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate groups: MinHash-LSH candidate pairs (the
+    q_minhash_band_pairs join) closed into connected components by
+    alternating min-label propagation (operators/dedup.py:dedup_clusters);
+    cluster_id = smallest member = the keeper.  The oracle computes the
+    same components with a recursive-CTE transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, k=4, bands=2).select("id_a", "id_b")
+    return D.dedup_clusters(pairs).orderBy("doc_id")

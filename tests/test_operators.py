@@ -215,3 +215,49 @@ def test_ivf_topk_recall_and_tiebreaks(spark):
     r2, r4 = recall(2), recall(4)
     assert r4 >= r2
     assert r4 >= 0.5
+
+
+def test_repetition_signals_known_values(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a a b",           # dup words 1/3; bigrams {a a, a b} -> top 1/2; 1 trigram, unique
+                "x y x y x y",     # dup 4/6; bigrams: x y *3, y x *2 -> 3/5; trigrams: x y x *2, y x y *2 -> 4/4
+                "one two three",   # no repetition at all
+                "solo",            # too short for any n-gram
+            ],
+        })
+    )
+    got = (
+        D.repetition_signals(docs)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "n_words"] == 3
+    assert abs(got.loc[1, "dup_word_frac"] - (1 - 2 / 3)) < 1e-6
+    assert abs(got.loc[1, "top_bigram_frac"] - 0.5) < 1e-6
+    assert got.loc[1, "dup_trigram_frac"] == 0.0
+    assert abs(got.loc[2, "dup_word_frac"] - (1 - 2 / 6)) < 1e-6
+    assert abs(got.loc[2, "top_bigram_frac"] - 3 / 5) < 1e-6
+    assert got.loc[2, "dup_trigram_frac"] == 1.0
+    assert got.loc[3, "dup_word_frac"] == 0.0
+    assert got.loc[3, "top_bigram_frac"] - 0.5 < 1e-9  # 2 distinct bigrams, max 1/2
+    assert got.loc[4, "n_words"] == 1
+    assert got.loc[4, "top_bigram_frac"] == 0.0
+    assert got.loc[4, "dup_trigram_frac"] == 0.0
+
+
+def test_dedup_clusters_transitive_and_path(spark):
+    # {1,2,3} via 1-2, 2-3 (transitive); {5,6}; path 10-11-12-13-14 needs
+    # multiple propagation rounds to pull 14 down to 10
+    pairs = spark.createDataFrame(
+        pd.DataFrame({
+            "id_a": [1, 2, 5, 10, 11, 12, 13],
+            "id_b": [2, 3, 6, 11, 12, 13, 14],
+        })
+    )
+    got = D.dedup_clusters(pairs).toPandas().sort_values("doc_id")
+    want = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
