@@ -28,6 +28,7 @@ from .functions import tags as TG
 from .functions import text as TX
 from .operators import buildings as B
 from .operators import conflate as C
+from .operators import curation as CU
 from .operators import dedup as D
 from .operators import media as M
 from .operators import poi as P
@@ -3286,3 +3287,155 @@ def q_dedup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, k=4, bands=2).select("id_a", "id_b")
     return D.dedup_clusters(pairs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: stratified sampling, sequence packing, DSIR importance
+# weights, boilerplate-chunk removal (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_SAMPLE_DEFAULT = 0.05
+
+_SAMPLE_RATES_SQL = ", ".join(f"('{k}', {v})" for k, v in sorted(_SAMPLE_RATES.items()))
+
+
+@register(
+    "q_stratified_sample",
+    f"""
+    WITH r(source, rate) AS (VALUES {_SAMPLE_RATES_SQL}),
+    d AS (
+      SELECT doc_id, documents.source, coalesce(r.rate, {_SAMPLE_DEFAULT}) AS rate,
+             round(CAST({_POLY_SQL.format(s="documents.source || ':' || CAST(doc_id AS VARCHAR)")}
+                        * 48271 % 2147483647 * 48271 % 2147483647
+                        % 1000000 AS DOUBLE) / 1000000, 6) AS u
+      FROM documents LEFT JOIN r ON documents.source = r.source
+    )
+    SELECT doc_id, source, rate, u FROM d WHERE u < rate ORDER BY doc_id
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified Bernoulli sampling (domain mixing):
+    per-source keep rates compiled into a broadcast dim; the coin is the
+    portable poly-hash of source:doc_id, never rand()."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        CU.stratified_sample(d, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT)
+        .select("doc_id", "source", "rate", "u")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL.format(t="text")}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(cb / 256) AS BIGINT) AS pack_id,
+           CAST(cb % 256 AS BIGINT) AS pack_offset
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (seq_len=256) via the distributed
+    exclusive prefix sum (range partitions + P-row driver offsets + per-
+    partition windows) — the oracle is the equivalent global window."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.pack_sequences(d, seq_len=256).orderBy("doc_id")
+
+
+@register(
+    "q_dsir_weights",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest({_TOKS_SQL.format(t="text")}) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, is_t, {_POLY_SQL.format(s="tok")} % 64 AS bucket FROM tk
+    ),
+    h AS (
+      SELECT bucket, count(*) AS raw_cnt,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_cnt
+      FROM b GROUP BY bucket
+    ),
+    tt AS (SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot FROM h),
+    p AS (
+      SELECT bucket,
+             ln(((tgt_cnt + 0.5) / (tgt_tot + 0.5 * 64))
+                / ((raw_cnt + 0.5) / (raw_tot + 0.5 * 64))) AS log_ratio
+      FROM h, tt
+    ),
+    a AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             round(avg(p.log_ratio), 6) AS dsir_weight
+      FROM b JOIN p USING (bucket) GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks,
+           coalesce(a.dsir_weight, 0.0) AS dsir_weight
+    FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style hashed-unigram importance weights against the lang='en'
+    target slice: 64-bucket histograms broadcast back onto the exploded
+    token stream; per-doc mean log-ratio."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        CU.dsir_weights(d, F.col("lang") == "en", buckets=64)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_boilerplate_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL.format(t="text")} AS toks FROM documents),
+    pieces AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(toks, i * 3 + 1, i * 3 + 3), ' ') AS piece
+      FROM t, unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS u(i)
+      WHERE array_to_string(list_slice(toks, i * 3 + 1, i * 3 + 3), ' ') <> ''
+    ),
+    keyed AS (
+      SELECT doc_id, pos, piece, {_POLY_SQL.format(s="piece")} AS pkey FROM pieces
+    ),
+    bo AS (
+      SELECT pkey FROM (SELECT DISTINCT pkey, doc_id FROM keyed)
+      GROUP BY pkey HAVING count(*) >= 5
+    ),
+    fl AS (
+      SELECT k.doc_id, k.pos, k.piece, (bo.pkey IS NOT NULL) AS is_b
+      FROM keyed k LEFT JOIN bo USING (pkey)
+    ),
+    pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             coalesce(string_agg(CASE WHEN NOT is_b THEN piece END, ' ' ORDER BY pos), '')
+               AS text_clean
+      FROM fl GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(pd.n_chunks, CAST(0 AS BIGINT)) AS n_chunks,
+           coalesce(pd.n_boiler, CAST(0 AS BIGINT)) AS n_boiler,
+           coalesce(pd.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def q_boilerplate_chunks(spark, sf_dir):
+    """Cross-document boilerplate removal: 3-token pieces hashed and
+    counted by distinct-doc occurrence; pieces in >= 5 docs are dropped and
+    the survivors reassembled in order (the CCNet/RefinedWeb line-dedup
+    stage, over hash keys only — never text-to-text joins)."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.drop_boilerplate_chunks(d, chunk=3, min_docs=5).orderBy("doc_id")
