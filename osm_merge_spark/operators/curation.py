@@ -114,23 +114,27 @@ def pack_sequences(
         r["_pid"]: r["tot"]
         for r in with_pid.groupBy("_pid").agg(F.sum("n_tokens").alias("tot")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(totals):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += totals[pid]
-    offset_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-        ),
-        F.col("_pid"),
-    ) if offsets else F.lit(0)
+    # offsets ride a broadcast join, not a create_map literal: at 10k+
+    # partitions a 2P-node map expression bloats the Catalyst tree/codegen,
+    # while a P-row broadcast dim stays O(1) in plan size
+    off_df = docs.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _poff long"
+    )
+    with_off = with_pid.join(F.broadcast(off_df), "_pid", "left")
 
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + offset_expr
+    cum_before = (
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        + F.coalesce(F.col("_poff"), F.lit(0))
+    )
     return (
-        with_pid.select(
+        with_off.select(
             order_col,
             "n_tokens",
             F.floor(cum_before / seq_len).cast("long").alias("pack_id"),

@@ -3439,3 +3439,47 @@ def q_boilerplate_chunks(spark, sf_dir):
     stage, over hash keys only — never text-to-text joins)."""
     d = _t(spark, sf_dir, "documents")
     return CU.drop_boilerplate_chunks(d, chunk=3, min_docs=5).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup: dropDuplicatesWithinWatermark through the real
+# readStream → availableNow path (streaming/events.py:dedup_stream)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming first-seen dedup per (user_id, event_type) with watermark-
+    bounded state (dropDuplicatesWithinWatermark — the continuous-cluster
+    form whose state does not grow forever).  Drained via availableNow; the
+    output is projected to the key columns because which representative ROW
+    survives is arrival-order-dependent, while the distinct key SET equals
+    the batch DISTINCT — which is exactly what the oracle checks."""
+    import os
+    import tempfile
+
+    from .streaming import events as SE
+
+    base = tempfile.mkdtemp(prefix="oms_stream_dedup_")
+    os.makedirs(f"{base}/in")
+    os.symlink(f"{sf_dir}/events.parquet", f"{base}/in/events.parquet")
+    dd = SE.dedup_stream(
+        SE.read_events_stream(spark, f"{base}/in"), ["user_id", "event_type"]
+    )
+    q = (
+        dd.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(f"{base}/out"))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )

@@ -61,3 +61,23 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: keep the first row seen per key, with
+    per-key state expired past the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — state is bounded by the watermark
+    horizon instead of growing forever like plain ``dropDuplicates`` on an
+    unbounded stream, which is what makes this runnable continuously on a
+    cluster).
+
+    Which representative ROW survives depends on arrival order, so exact-
+    match consumers should project to the key columns (the distinct key
+    SET is deterministic); the engine keeps the full row for pipelines
+    that don't need determinism.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

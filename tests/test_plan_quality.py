@@ -143,3 +143,53 @@ def test_odk_convert_engine_stays_jvm_side(spark):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    from osm_merge_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(CU.stratified_sample(docs, {"src0": 0.5, "src1": 0.1}))
+    # the rates dim must ride a broadcast join — a shuffled join here would
+    # re-shuffle the full fact table for a handful of config rows
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_no_global_single_partition_window(spark):
+    from osm_merge_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(CU.pack_sequences(docs, seq_len=256, num_partitions=8))
+    # the prefix sum must NOT be a global Window over SinglePartition —
+    # that collapses the corpus into one task; the _pid-keyed window keeps
+    # parallelism P
+    assert not re.search(r"Exchange SinglePartition.*\n.*Window", plan)
+    window_parts = re.findall(r"\(\d+\) Window", plan)
+    assert len(window_parts) == 1  # exactly the per-partition running sum
+    # offsets ride a broadcast, not a literal map expression
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_weights_histograms_broadcast(spark):
+    from osm_merge_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(CU.dsir_weights(docs, F.col("lang") == "en", buckets=64))
+    # both the totals crossJoin (1 row) and the probs join (64 rows) must
+    # broadcast; the exploded token stream must never sort-merge against
+    # a 64-row dim
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_boilerplate_chunks_hash_keyed_join(spark):
+    from osm_merge_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(CU.drop_boilerplate_chunks(docs, chunk=3, min_docs=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -159,3 +159,51 @@ def test_stateful_sessionization_with_restart(spark, tmpdir):
     assert (2, "2026-01-01 10:00:00", "2026-01-01 10:00:00", 1, 5.0) in got
     # user 1's second session (13:00-13:05) is still open — not emitted yet
     assert len(got) == 2
+
+
+def test_stream_dedup_across_microbatches(spark, tmpdir):
+    """A key appearing in two separate input files (one file per trigger →
+    two micro-batches) must survive only once: the dedup state carries
+    across batches within the watermark horizon."""
+    import pandas as pd
+
+    base = str(tmpdir)
+    src, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    rows1 = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": [t0, t0 + pd.Timedelta(minutes=1), t0 + pd.Timedelta(minutes=2)],
+        "user_id": [7, 7, 8],
+        "event_type": ["a", "b", "a"],
+        "value": [1.0, 2.0, 3.0],
+        "props": ["", "", ""],
+    })
+    rows2 = pd.DataFrame({
+        "event_id": [4, 5],
+        "ts": [t0 + pd.Timedelta(minutes=3), t0 + pd.Timedelta(minutes=4)],
+        "user_id": [7, 9],             # (7, a) is a dup of file 1
+        "event_type": ["a", "z"],
+        "value": [4.0, 5.0],
+        "props": ["", ""],
+    })
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(rows2).coalesce(1).write.parquet(f"{src}/f2")
+    stream = (
+        spark.readStream.schema(ST.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        ST.dedup_stream(stream, ["user_id", "event_type"], watermark="10 hours")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(out).select("user_id", "event_type").collect()
+    )
+    assert got == [(7, "a"), (7, "b"), (8, "a"), (9, "z")]
