@@ -198,6 +198,27 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
 
 
+def token_shingle_hashes(text: Column | str, n: int = 4) -> Column:
+    """Distinct polynomial hashes of the n-token shingles (array<bigint>);
+    docs shorter than ``n`` tokens yield an empty array.  The manufactured
+    equi-key for decontamination / overlap joins — shingle TEXT never
+    travels through a join.
+
+    DuckDB twin: hash ``array_to_string(list_slice(toks, i, i+n-1), ' ')``
+    over ``i in range(1, len-n+1)`` and ``list_distinct`` the result.
+    """
+    toks = tokens(text)
+    cnt = F.size(toks) - (n - 1)
+    return F.when(cnt < 1, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: string_poly_hash(F.concat_ws(" ", F.slice(toks, i, n))),
+            )
+        )
+    )
+
+
 def bpe_token_estimate(text: Column | str) -> Column:
     """BPE-ish token count: greedy regex tiling — letter runs count in
     <=4-char pieces (a run of length L yields ceil(L/4) matches), each digit

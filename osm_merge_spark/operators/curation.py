@@ -207,6 +207,54 @@ def dsir_weights(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the eval-overlap scrub every public
+    pretraining pipeline runs — PaLM/GPT-3/Llama reports all document an
+    n-gram overlap filter): flag each corpus document that shares at least
+    one ``n``-token shingle with the benchmark set.
+
+    Returns (id, n_shingles, n_contaminated, contaminated) — callers drop
+    or downweight flagged docs.
+
+    Scale path: both sides reduce to DISTINCT shingle-hash streams
+    (``text.token_shingle_hashes`` — text never travels through the join);
+    the benchmark side is tiny by construction (eval sets are thousands of
+    docs against a 10^12-doc corpus), so its distinct hash set broadcasts
+    and the corpus stream is probed map-side with ZERO shuffle of corpus
+    data.  Set ``broadcast_benchmark=False`` for an unusually large
+    benchmark — the join degrades to a hash-key shuffle, still never
+    quadratic.  Per-doc rollup is one map-side-partial groupBy.
+    """
+    sh = TX.token_shingle_hashes(F.col(text_col), n)
+    doc_sh = docs.select(F.col(id_col), F.size(sh).alias("n_shingles"), sh.alias("_sh"))
+    bench = benchmark.select(F.explode(TX.token_shingle_hashes(F.col(text_col), n)).alias("h")).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    hits = (
+        doc_sh.select(id_col, F.explode("_sh").alias("h"))
+        .join(bench, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    return (
+        doc_sh.select(id_col, F.col("n_shingles").cast("long"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def drop_boilerplate_chunks(
     docs: DataFrame,
     chunk: int = 3,

@@ -3483,3 +3483,103 @@ def q_stream_dedup(spark, sf_dir):
         .select("user_id", "event_type")
         .orderBy("user_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + benchmark decontamination (functions/pii.py, curation.py) —
+# the two scrub stages every public pretraining pipeline documents (C4,
+# RefinedWeb, Dolma; PaLM/GPT-3/Llama eval-overlap filters).
+# ---------------------------------------------------------------------------
+
+# the synthetic documents carry no PII, so the query plants deterministic
+# PII derived from doc_id (one email, one IPv4, one phone per doc) and the
+# oracle plants the identical strings — the regex engines, pattern order,
+# and global-replace semantics are what's under test
+_PII_SEED_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+    " || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_sql() -> str:
+    from .functions import pii as PII
+
+    counts = PII.pii_sql_counts("t")
+    cols = ",\n           ".join(f"{expr} AS n_{k}" for k, expr in counts.items())
+    return f"""
+    WITH s AS (SELECT doc_id, {_PII_SEED_SQL} AS t FROM documents)
+    SELECT doc_id,
+           {cols},
+           {PII.pii_sql_redact("t")} AS redacted
+    FROM s ORDER BY doc_id
+    """
+
+
+@register("q_pii_scrub", _pii_sql())
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact over deterministically seeded text: per-kind
+    regexp_count columns and the fixed-order global regexp_replace scrub —
+    all JVM-side Column expressions (functions/pii.py), byte-compared
+    against DuckDB's RE2 on the same patterns."""
+    from .functions import pii as PII
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 call 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    counts = PII.pii_counts(seeded)
+    return d.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        PII.pii_redact(seeded).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+_DECON_SHINGLE_SQL = _POLY_SQL.format(
+    s="array_to_string(list_slice(toks, i, i + 3), ' ')"
+)
+
+_DECON_SQL = f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL.format(t="text")} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, CAST(greatest(len(toks) - 3, 0) AS BIGINT) + 1),
+               i -> {_DECON_SHINGLE_SQL})) AS shs
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT unnest(shs) AS h FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles, shs
+               FROM sh WHERE source <> 'src0'),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM (SELECT doc_id, unnest(shs) AS h FROM corpus) c
+      WHERE h IN (SELECT h FROM bench)
+      GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_shingles,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           coalesce(h.n_contaminated, 0) > 0 AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id) ORDER BY c.doc_id
+"""
+
+
+@register("q_decontaminate", _DECON_SQL)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (source <> 'src0') flagged by
+    4-token-shingle-hash overlap with the benchmark slice (source = 'src0')
+    — a broadcast semi-join on manufactured hash keys (curation.py:
+    decontaminate), text never joined."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=4,
+    ).orderBy("doc_id")
