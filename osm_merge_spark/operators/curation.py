@@ -329,3 +329,64 @@ def drop_boilerplate_chunks(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    delim: str = r"\n+",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_delim: str = "\n",
+) -> DataFrame:
+    """Paragraph-level global exact dedup (the Dolma / CCNet paragraph
+    stage): split each document on ``delim``, keep only the FIRST
+    occurrence of each distinct paragraph corpus-wide — ordered by
+    (``id_col``, position), so reruns are deterministic — and reassemble
+    each document's surviving paragraphs in original order.
+
+    Differs from :func:`drop_boilerplate_chunks` in policy: boilerplate
+    removal drops a frequent piece EVERYWHERE; paragraph dedup keeps
+    exactly one copy (the first) and drops the rest.
+
+    Returns (id, n_paras, n_kept, text_kept).  Scale path: the global
+    first-occurrence vote is one groupBy on the paragraph HASH with a
+    ``min(struct(id, pos))`` partial agg — paragraph text never rides the
+    vote shuffle; the verdict joins back on the same manufactured key (AQE
+    reuses the exchange), and reassembly is the per-doc array_sort pattern.
+    Hash collisions conflate paragraphs at ~n²/2^31 odds — at true corpus
+    scale swap ``string_poly_hash`` for ``F.xxhash64`` (the oracle twin is
+    what pins the portable hash here).
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    keyed = paras.withColumn("pkey", TX.string_poly_hash(F.col("para")))
+    first = keyed.groupBy("pkey").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first")
+    )
+    kept = keyed.join(first, "pkey").where(
+        (F.col(id_col) == F.col(f"_first.{id_col}")) & (F.col("pos") == F.col("_first.pos"))
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            out_delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
+                lambda s: s["para"],
+            ),
+        ).alias("text_kept"),
+    )
+    n_paras = paras.groupBy(id_col).agg(F.count("*").cast("long").alias("n_paras"))
+    return (
+        docs.select(id_col)
+        .join(n_paras, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )

@@ -385,3 +385,74 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         if n_changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def semdedup(
+    docs: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings and dropping, WITHIN each cluster only, every
+    item whose cosine similarity to a lower-id cluster-mate exceeds
+    ``threshold`` (keep-lowest-id policy — the paper keeps one exemplar
+    per semantic duplicate group; lowest id is the deterministic choice).
+
+    Clustering here is the engine's deterministic coarse quantizer
+    (similarity.with_ivf_cells, the same k-means-style cell assignment the
+    IVF index uses), which keeps the whole operator hash-exact against an
+    ANSI-SQL twin.  Returns (id, cell, dropped, near_id, max_sim):
+    ``near_id`` is the lowest-id cluster-mate above threshold for dropped
+    rows (null otherwise), ``max_sim`` its similarity.
+
+    Scale path: the quadratic term is bounded to cluster size by the cell
+    equi-join — at corpus scale ``n_cells`` grows so clusters stay ~1e4
+    rows (the paper uses k=50k clusters for LAION); the join key is a small
+    int, hot cells salt through the same machinery as the conflation join.
+    """
+    from . import similarity as S
+
+    base = (
+        S.with_ivf_cells(
+            docs.select(F.col(id_col), F.col(vec_col).alias("vec")),
+            "vec", dim, n_cells, nprobe=1,
+        )
+        .withColumn("cell", F.element_at("cells", 1))
+        .drop("cells")
+        .withColumn("nrm", S.norm(F.col("vec")))
+    )
+    a = base.select(
+        F.col(id_col), F.col("vec"), F.col("nrm"), "cell"
+    )
+    b = base.select(
+        F.col(id_col).alias("prior_id"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+        "cell",
+    )
+    j = a.join(b, "cell").filter(F.col("prior_id") < F.col(id_col))
+    denom = F.col("nrm") * F.col("nrm_b")
+    cs = F.when(denom == 0, F.lit(0.0)).otherwise(S.dot(F.col("vec"), F.col("vec_b")) / denom)
+    hits = (
+        j.withColumn("cos_sim", F.round(cs, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.min("prior_id").alias("near_id"),
+            F.max("cos_sim").alias("max_sim"),
+        )
+    )
+    return (
+        base.select(id_col, "cell")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("near_id").isNotNull().alias("dropped"),
+            "near_id",
+            "max_sim",
+        )
+    )

@@ -3583,3 +3583,128 @@ def q_decontaminate(spark, sf_dir):
         d.filter(F.col("source") == "src0"),
         n=4,
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level global dedup (curation.dedup_paragraphs) + SemDeDup
+# (dedup.semdedup) — the remaining two published corpus-dedup stages
+# (Dolma's paragraph dedup; Abbas et al. 2023 semantic dedup).
+# ---------------------------------------------------------------------------
+
+_PARA_CHUNK = 10  # pseudo-paragraph size: the synthetic text has no newlines
+
+_PARA_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL.format(t="text")} AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 greatest(CAST(ceil(len(toks) / {_PARA_CHUNK}.0) AS BIGINT), 1) AS nch
+          FROM t),
+    idx AS (SELECT doc_id, toks, unnest(range(0, nch)) AS i FROM n),
+    paras AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(toks, i * {_PARA_CHUNK} + 1,
+                                        i * {_PARA_CHUNK} + {_PARA_CHUNK}), ' ') AS para
+      FROM idx
+    ),
+    keyed AS (
+      SELECT doc_id, pos, para, {_POLY_SQL.format(s="para")} AS pkey
+      FROM paras WHERE para <> ''
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY pkey ORDER BY doc_id, pos) AS rn
+      FROM keyed
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(para, chr(10) ORDER BY pos) AS text_kept
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM keyed GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_paras, 0) AS n_paras,
+           coalesce(p.n_kept, 0) AS n_kept,
+           coalesce(p.text_kept, '') AS text_kept
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@register("q_dedup_paragraphs", _PARA_SQL)
+def q_dedup_paragraphs(spark, sf_dir):
+    """Dolma-style paragraph dedup: docs re-chunked into 10-token
+    pseudo-paragraphs, first corpus-wide occurrence of each distinct
+    paragraph kept (vote = min(struct(doc_id, pos)) partial agg on the
+    paragraph hash), documents reassembled in order
+    (curation.dedup_paragraphs)."""
+    d = _t(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    nch = F.ceil(F.size(t) / _PARA_CHUNK).cast("int")
+    chunked = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(nch - 1, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(t, i * _PARA_CHUNK + 1, _PARA_CHUNK)),
+            ),
+        ).alias("text"),
+    )
+    return CU.dedup_paragraphs(chunked, delim="\n").orderBy("doc_id")
+
+
+def _semdedup_sql(dim: int = 64, n_cells: int = 8, threshold: float = 0.9) -> str:
+    """DuckDB twin of dedup.semdedup: the IVF cell1 assignment (same fold
+    order + lowest-id tie-break as _ivf_sql), intra-cell prior-id pairs,
+    keep-lowest-id drop policy."""
+
+    def d_expr(t: int) -> str:
+        coef = f"CAST((((({t} * 53 + (i - 1) * 29) % 17) - 8) / 8.0) AS DOUBLE)"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * {coef})), (a, b) -> a + b) AS d{t}"
+        )
+
+    d_cols = ", ".join(d_expr(t) for t in range(n_cells))
+    all_d = ", ".join(f"d{t}" for t in range(n_cells))
+    cell1 = "CASE " + " ".join(f"WHEN d{t} = m1 THEN {t}" for t in range(n_cells)) + " END"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM_SQL.format(a="embedding")} AS nrm, {d_cols}
+      FROM embeddings
+    ), cc AS (
+      SELECT vec_id, embedding, nrm, {cell1} AS cell
+      FROM (SELECT *, greatest({all_d}) AS m1 FROM base)
+    ), hits AS (
+      SELECT a.vec_id,
+             min(b.vec_id) AS near_id,
+             max(round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                            ELSE {_DOT_SQL.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm)
+                       END, 6)) AS max_sim
+      FROM cc a JOIN cc b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                       ELSE {_DOT_SQL.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm)
+                  END, 6) >= {threshold}
+      GROUP BY a.vec_id
+    )
+    SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+           h.near_id IS NOT NULL AS dropped,
+           h.near_id, h.max_sim
+    FROM cc c LEFT JOIN hits h USING (vec_id)
+    ORDER BY c.vec_id
+    """
+
+
+@register("q_semdedup", _semdedup_sql(threshold=0.35))
+def q_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: deterministic coarse-quantizer
+    clusters, intra-cluster cosine against lower-id mates, dropped rows
+    flagged with their keeper (dedup.semdedup) — the quadratic term bounded
+    to cluster size by the cell equi-join.  Threshold 0.35 here (not the
+    paper's ~0.95): the synthetic embeddings are near-orthogonal random
+    vectors (max pairwise cosine ~0.51), so the demo threshold sits where
+    the operator actually splits the table (62/500 dropped at sf0.01)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.semdedup(emb, dim=64, threshold=0.35, n_cells=8).orderBy("vec_id")

@@ -140,3 +140,83 @@ def test_boilerplate_chunks_empty_doc(spark):
     assert got.iloc[0]["n_chunks"] == 0
     assert got.iloc[0]["text_clean"] == ""
     assert got.iloc[1]["text_clean"] == "a b c"
+
+
+class TestDedupParagraphs:
+    def _docs(self, spark, texts):
+        import pandas as pd
+        import numpy as np
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+        )
+
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        docs = self._docs(
+            spark,
+            [
+                "alpha beta\ngamma delta",      # both paras first occurrences
+                "gamma delta\nepsilon zeta",    # first para is a dup of doc0/pos1
+                "alpha beta",                   # whole doc is a dup
+            ],
+        )
+        got = (
+            CU.dedup_paragraphs(docs, delim="\n")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert got["n_paras"].tolist() == [2, 2, 1]
+        assert got["n_kept"].tolist() == [2, 1, 0]
+        assert got["text_kept"].tolist() == [
+            "alpha beta\ngamma delta",
+            "epsilon zeta",
+            "",
+        ]
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        docs = self._docs(spark, ["same para\nsame para\nother one"])
+        got = CU.dedup_paragraphs(docs, delim="\n").toPandas()
+        assert got["n_kept"][0] == 2
+        assert got["text_kept"][0] == "same para\nother one"
+
+    def test_empty_doc(self, spark):
+        docs = self._docs(spark, ["", "real text"])
+        got = CU.dedup_paragraphs(docs, delim="\n").orderBy("doc_id").toPandas()
+        assert got["n_paras"].tolist() == [0, 1]
+        assert got["text_kept"].tolist() == ["", "real text"]
+
+
+class TestSemDedup:
+    def test_near_duplicates_drop_keep_lowest_id(self, spark):
+        import pandas as pd
+        from osm_merge_spark.operators import dedup as D
+
+        dim = 8
+        base = [1.0] + [0.0] * (dim - 1)
+        near = [0.999] + [0.04] + [0.0] * (dim - 2)   # cosine ~0.9992 to base
+        ortho = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": [1, 2, 3], "embedding": [base, near, ortho]}
+            )
+        )
+        got = D.semdedup(df, dim=dim, threshold=0.95, n_cells=4).orderBy("vec_id").toPandas()
+        by_id = {int(r.vec_id): r for r in got.itertuples()}
+        # 1 and 2 share a cell and cosine > .95: the higher id drops
+        assert not by_id[1].dropped
+        assert by_id[2].dropped and by_id[2].near_id == 1
+        assert by_id[2].max_sim > 0.95
+        # the orthogonal vector survives regardless of cell
+        assert not by_id[3].dropped
+
+    def test_different_cells_never_compared(self, spark):
+        import pandas as pd
+        from osm_merge_spark.operators import dedup as D
+
+        dim = 4
+        # identical vectors -> same cell, cosine 1.0 -> id 20 drops
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [10, 20], "embedding": [[1.0, 0, 0, 0]] * 2})
+        )
+        got = D.semdedup(df, dim=dim, threshold=0.99, n_cells=2).orderBy("vec_id").toPandas()
+        assert got["dropped"].tolist() == [False, True]
+        assert got["near_id"].tolist()[1] == 10
