@@ -226,3 +226,42 @@ def bpe_token_estimate(text: Column | str) -> Column:
     token counts without a vocabulary, entirely JVM-side (regexp_count)."""
     t = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(t, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def hashed_linear_logit(text: Column | str, buckets: int = 256, seed: int = 1) -> Column:
+    """fastText-style linear quality-classifier INFERENCE (the model-based
+    quality filter of CCNet / GPT-3 / LLaMA data pipelines): mean over token
+    occurrences of a hashed-bucket weight, w[h(tok) % buckets].
+
+    The engine ships the scoring path — training happens offline; a real
+    weight vector drops in as literals.  The weight table here is a
+    deterministic pseudo-random fill reproducible in ANSI SQL:
+    ``w_b = (((b * 9871 + seed * 7919) % 401) - 200) / 200`` in [-1, 1].
+    Empty docs score 0 (probability 0.5).  Pure Column fold — whole-stage
+    codegen, no shuffle, no Python.
+    """
+    s = hashed_linear_wsum(text, buckets, seed)
+    n = F.size(token_hashes(text))
+    return F.when(
+        n > 0, s.cast("double") / (n.cast("double") * F.lit(200.0))
+    ).otherwise(F.lit(0.0))
+
+
+def hashed_linear_wsum(text: Column | str, buckets: int = 256, seed: int = 1) -> Column:
+    """Integer weight-sum backing :func:`hashed_linear_logit`: sum over token
+    occurrences of ``((h % buckets) * 9871 + seed*7919) % 401 - 200``.  Kept
+    in bigint so the logit is one exactly-rounded IEEE division of integers —
+    bitwise reproducible across engines (no float fold, no rounding ties)."""
+    hs = token_hashes(text)
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: acc + ((((h % buckets) * 9871 + seed * 7919) % 401) - 200),
+    )
+
+
+def hashed_linear_prob(text: Column | str, buckets: int = 256, seed: int = 1) -> Column:
+    """Logistic squash of :func:`hashed_linear_logit` — the keep-probability
+    the pipeline thresholds on."""
+    z = hashed_linear_logit(text, buckets, seed)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

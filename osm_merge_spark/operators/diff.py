@@ -1,0 +1,59 @@
+"""Snapshot diff — the osmium ``derive-changes`` / OsmChange-file pattern.
+
+The reference's workflow consumes OSM extracts that move underneath it
+(`osm-merge` re-runs conflation against fresh extracts; osmium-tool's
+derive-changes computes what changed between two).  This operator classifies
+every feature id across two snapshots as created / deleted / modified /
+unchanged by comparing map-side content signatures.
+
+Scale path: each side reduces to (id, signature) before the join — payload
+never rides the shuffle; the classification is ONE full-outer equi-join on
+the feature id (at 10^12 rows both sides are id-partitioned parquet/Iceberg,
+so the join is co-located after the first run).  Callers re-attach payload
+by id for the kinds they act on (typically created+modified only, a small
+fraction of the table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# unit separator: cannot appear in OSM tag text, so concat is injective
+_SEP = "\x1f"
+
+
+def content_signature(*cols: Column | str) -> Column:
+    """md5 over the unit-separated column renderings — the per-feature
+    content hash both snapshots are reduced to.  NULL renders as the empty
+    string (concat_ws skips nulls), so a NULL and '' collide; feed
+    pre-normalized columns."""
+    rendered = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    return F.md5(F.concat_ws(_SEP, *rendered))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "way_id",
+    sig_cols: tuple[str, ...] = ("tags",),
+) -> DataFrame:
+    """Classify every feature id across two snapshots.
+
+    Returns (id, change, old_sig, new_sig) with ``change`` in
+    created | deleted | modified | unchanged.
+    """
+    o = old.select(
+        F.col(id_col), content_signature(*sig_cols).alias("old_sig")
+    )
+    n = new.select(
+        F.col(id_col), content_signature(*sig_cols).alias("new_sig")
+    )
+    j = o.join(n, id_col, "full_outer")
+    change = (
+        F.when(F.col("old_sig").isNull(), F.lit("created"))
+        .when(F.col("new_sig").isNull(), F.lit("deleted"))
+        .when(F.col("old_sig") != F.col("new_sig"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(id_col, change.alias("change"), "old_sig", "new_sig")

@@ -3708,3 +3708,172 @@ def q_semdedup(spark, sf_dir):
     the operator actually splits the table (62/500 dropped at sf0.01)."""
     emb = _t(spark, sf_dir, "embeddings")
     return D.semdedup(emb, dim=64, threshold=0.35, n_cells=8).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filter (fastText-style hashed linear scorer) + per-source
+# TF-IDF top terms — the quality-classifier and vocabulary-analytics stages.
+# ---------------------------------------------------------------------------
+
+_QMODEL_W_SQL = "(({h} % 256) * 9871 + 7919) % 401 - 200"
+
+_QMODEL_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform({_TOKS_SQL.format(t="text")},
+                            tok -> {_POLY_SQL.format(s="tok")}) AS hs
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(hs, h -> CAST({_QMODEL_W_SQL.format(h="h")} AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS w_sum
+      FROM t
+    )
+    SELECT doc_id, n_tokens, w_sum,
+           CASE WHEN n_tokens > 0
+                THEN CAST(w_sum AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 200.0)
+                ELSE 0.0 END AS quality_logit,
+           w_sum >= 0 AS keep
+    FROM scored ORDER BY doc_id
+"""
+
+
+@register("q_quality_model", _QMODEL_SQL)
+def q_quality_model(spark, sf_dir):
+    """Model-based quality filter: fastText-style hashed-bucket linear
+    scorer (functions/text.py: hashed_linear_wsum/logit) — one Column fold
+    per doc, no shuffle.  The logit is kept integer-exact (bigint weight sum,
+    one IEEE division) so the cross-engine hash is bitwise stable; keep is
+    p >= 0.5, i.e. w_sum >= 0 (empty docs score 0 -> keep)."""
+    d = _t(spark, sf_dir, "documents")
+    wsum = TX.hashed_linear_wsum("text")
+    return d.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        wsum.alias("w_sum"),
+        TX.hashed_linear_logit("text").alias("quality_logit"),
+        (wsum >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_TFIDF_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL.format(t="text")}) AS term
+      FROM documents
+    ), tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY source, term
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+    ), ndoc AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((SELECT n FROM ndoc) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term)
+    )
+    SELECT source, term, tf, df, tfidf, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5 ORDER BY source, rnk
+"""
+
+
+@register("q_tfidf_terms", _TFIDF_SQL)
+def q_tfidf_terms(spark, sf_dir):
+    """Per-source TF-IDF top terms (vocabulary analytics over the corpus):
+    tf is one map-side-partial aggregate per (source, term); df is a
+    (term, doc) dedup + count whose vocabulary-sized result broadcasts back;
+    the doc total is scalar driver metadata.  Top-5 window per source —
+    no text ever joins on itself."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count("*").cast("long").alias("tf"))
+    df = (
+        tok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    n_doc = d.count()
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_doc)) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", "tf", "df", "tfidf", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (operators/diff.py) — the osmium derive-changes pattern:
+# classify feature ids across two extract snapshots by content signature.
+# Snapshots are deterministic perturbations of orders: %7==0 deleted,
+# %5==0 modified (priority prefixed), %9==4 duplicated as created (-id).
+# ---------------------------------------------------------------------------
+
+_DIFF_SIG = "md5(concat_ws(chr(31), CAST(o_orderstatus AS VARCHAR), CAST({prio} AS VARCHAR)))"
+
+_DIFF_SQL = f"""
+    WITH old AS (
+      SELECT o_orderkey AS way_id,
+             {_DIFF_SIG.format(prio="o_orderpriority")} AS old_sig
+      FROM orders
+    ),
+    new_base AS (
+      SELECT o_orderkey AS way_id,
+             {_DIFF_SIG.format(prio="CASE WHEN o_orderkey % 5 = 0 THEN 'X' || o_orderpriority ELSE o_orderpriority END")} AS new_sig
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    created AS (
+      SELECT -o_orderkey AS way_id,
+             {_DIFF_SIG.format(prio="o_orderpriority")} AS new_sig
+      FROM orders WHERE o_orderkey % 9 = 4
+    ),
+    new_snap AS (SELECT * FROM new_base UNION ALL SELECT * FROM created)
+    SELECT coalesce(o.way_id, n.way_id) AS way_id,
+           CASE WHEN o.old_sig IS NULL THEN 'created'
+                WHEN n.new_sig IS NULL THEN 'deleted'
+                WHEN o.old_sig <> n.new_sig THEN 'modified'
+                ELSE 'unchanged' END AS change,
+           o.old_sig, n.new_sig
+    FROM old o FULL OUTER JOIN new_snap n ON o.way_id = n.way_id
+    ORDER BY way_id
+"""
+
+
+@register("q_snapshot_diff", _DIFF_SQL)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two deterministic extract versions: map-side
+    content signatures, one full-outer equi-join on the feature id, rows
+    classified created/deleted/modified/unchanged (operators/diff.py)."""
+    from .operators import diff as DF
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.select(
+        F.col("o_orderkey").alias("way_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    new_base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("way_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.concat(F.lit("X"), F.col("o_orderpriority")))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    created = o.filter(F.col("o_orderkey") % 9 == 4).select(
+        (-F.col("o_orderkey")).alias("way_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    return DF.snapshot_diff(
+        old, new_base.unionAll(created), id_col="way_id", sig_cols=("status", "prio")
+    ).orderBy("way_id")

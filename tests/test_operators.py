@@ -261,3 +261,33 @@ def test_dedup_clusters_transitive_and_path(spark):
     got = D.dedup_clusters(pairs).toPandas().sort_values("doc_id")
     want = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+class TestSnapshotDiff:
+    def test_all_four_classes(self, spark):
+        import pandas as pd
+        from osm_merge_spark.operators import diff as DF
+
+        old = spark.createDataFrame(
+            pd.DataFrame({"way_id": [1, 2, 3], "tags": ["a", "b", "c"]})
+        )
+        new = spark.createDataFrame(
+            pd.DataFrame({"way_id": [2, 3, 4], "tags": ["b", "CHANGED", "d"]})
+        )
+        got = (
+            DF.snapshot_diff(old, new, id_col="way_id", sig_cols=("tags",))
+            .orderBy("way_id")
+            .toPandas()
+        )
+        assert got["change"].tolist() == ["deleted", "unchanged", "modified", "created"]
+        assert got["way_id"].tolist() == [1, 2, 3, 4]
+
+    def test_signature_separator_prevents_concat_collisions(self, spark):
+        import pandas as pd
+        from osm_merge_spark.operators import diff as DF
+
+        # ("ab", "c") must not collide with ("a", "bc")
+        old = spark.createDataFrame(pd.DataFrame({"id": [1], "x": ["ab"], "y": ["c"]}))
+        new = spark.createDataFrame(pd.DataFrame({"id": [1], "x": ["a"], "y": ["bc"]}))
+        got = DF.snapshot_diff(old, new, id_col="id", sig_cols=("x", "y")).toPandas()
+        assert got["change"].tolist() == ["modified"]

@@ -125,3 +125,30 @@ def test_decontaminate_self_overlap_counts_distinct_shingles(spark):
     got = CU.decontaminate(corpus, bench, n=4).toPandas()
     assert got["n_contaminated"][0] == 1
     assert bool(got["contaminated"][0])
+
+
+def test_hashed_linear_scorer_bounds_and_empty(spark):
+    d = _docs(spark, ["some words here", "", "a a a a"])
+    got = (
+        d.select(
+            "doc_id",
+            TX.hashed_linear_logit(F.col("text")).alias("z"),
+            TX.hashed_linear_prob(F.col("text")).alias("p"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # logit is a mean of weights in [-1, 1]
+    assert (got["z"].abs() <= 1.0).all()
+    assert ((got["p"] > 0) & (got["p"] < 1)).all()
+    # empty doc: logit 0 -> prob exactly 0.5
+    assert got["z"][1] == 0.0 and got["p"][1] == 0.5
+
+
+def test_hashed_linear_scorer_repeated_token_mean(spark):
+    d = _docs(spark, ["spark", "spark spark spark"])
+    got = (
+        d.select(TX.hashed_linear_logit(F.col("text")).alias("z"))
+        .toPandas()
+    )
+    assert abs(got["z"][0] - got["z"][1]) < 1e-12
