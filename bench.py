@@ -370,7 +370,8 @@ def run_scaling(replicas: int | None = None, budget_s: int | None = None,
     fleet = json.loads(line)
     out = {"scaling_protocol": fleet.get("protocol")}
     for k in ("n_executors", "rate_n", "rate_4n", "wall_n", "wall_4n",
-              "per_exec_4n", "scaling_efficiency", "balance_4n",
+              "per_exec_4n", "per_exec_4n_samples", "n_bookend_secs",
+              "scaling_efficiency", "balance_4n",
               "balance_gate", "balance_gate_met", "sweeps_run",
               "scaling_efficiency_rejected", "scaling_rejection",
               "storm_abort", "orchestrator_error"):

@@ -403,20 +403,37 @@ def _pack(k: int, res: list[dict]) -> dict:
 
 
 def _n_secs(sweep: dict, n: int, r: int) -> float:
-    """Per-N-rank wall: mean of the sweep's two bookend samples — the
-    time-centered estimate of the N wall under any within-sweep drift ramp
-    (the 4N block runs between them)."""
-    return (sweep[(n, r, 0)]["secs"] + sweep[(n, r, 1)]["secs"]) / 2.0
+    """Per-N-rank wall: MIN of the sweep's two bookend samples.
+
+    A warm daemon re-running an identical job has a one-sided noise profile
+    — the clean wall is a floor; scheduler jitter, GC pauses, and co-tenant
+    phases only ADD time — so the min of two samples is the estimator of
+    the dedicated-hardware wall (the quantity a real cluster node delivers).
+    Same rule as the 4N ranks (:func:`_k4_secs`) so the N→4N ratio is not
+    biased either way.  timeit's repeat()-then-min is the same argument."""
+    return min(sweep[(n, r, 0)]["secs"], sweep[(n, r, 1)]["secs"])
+
+
+def _k4_secs(sweep: dict, k4: int, r: int) -> float:
+    """Per-4N-rank wall: MIN of the rank's two in-sweep samples (the 4N
+    block runs twice, time-separated, between the N bookends — a noise
+    blip during one pass doesn't corrupt the rank's wall)."""
+    return min(sweep[(k4, r, 0)]["secs"], sweep[(k4, r, 1)]["secs"])
 
 
 def _sweep_balance(sweep: dict, k4: int) -> float:
-    """Internal-consistency score: worst of (a) 4N wall spread and (b) each
-    N rank's bookend-pair disagreement.  (b) catches the failure mode where
-    the machine phase flips between the N samples and the 4N block — the 4N
-    walls can balance perfectly while the N estimate is garbage (observed:
-    a recorded eff of 1.089, superlinear, from exactly that)."""
+    """Internal-consistency score: worst of (a) the spread of the per-rank
+    MIN walls across the 4N fleet and (b) each N rank's bookend-pair
+    disagreement.  (b) catches the failure mode where the machine phase
+    flips between the N samples and the 4N block — the 4N walls can balance
+    perfectly while the N estimate is garbage (observed: a recorded eff of
+    1.089, superlinear, from exactly that).  (a) on mins measures the
+    engine's genuine work imbalance: single-sample scheduler noise (r5
+    measured ±15-30% on ~30 s jobs with the slow rank MOVING between runs,
+    while the candidate-pair estimate per rank balances within 1.07) is
+    absorbed by the per-rank min instead of failing the gate."""
     n = sweep["__n"]
-    secs4 = [sweep[(4 * n, r, 0)]["secs"] for r in range(k4)]
+    secs4 = [_k4_secs(sweep, 4 * n, r) for r in range(k4)]
     bal = max(secs4) / max(min(secs4), 1e-9)
     for r in range(n):
         a, b = sweep[(n, r, 0)]["secs"], sweep[(n, r, 1)]["secs"]
@@ -462,15 +479,20 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "3600"))
     t_start = time.time()
     k4 = 4 * n
-    # each sweep BOOKENDS the 4N block with two samples of every N rank:
-    # the per-rank N wall is the mean of its pair (time-centered under any
-    # within-sweep drift ramp), and the pair's disagreement feeds the
+    # each sweep BOOKENDS a TWICE-run 4N block with two samples of every N
+    # rank.  Every task's wall is the min of its two samples (_n_secs /
+    # _k4_secs: warm-daemon noise is one-sided, so min estimates the
+    # dedicated-hardware wall — applied identically to both fleet sizes so
+    # the ratio is unbiased); the N pair's disagreement still feeds the
     # balance gate — a single N sample, wherever placed, can silently
     # sample a different machine phase than the 4N ranks and corrupt the
-    # ratio in either direction
+    # ratio in either direction.  The 4N block repeats as a block (not
+    # per-rank back-to-back) so each rank's two samples are time-separated
+    # and a minutes-long noise phase can't cover both.
     tasks = (
         [(n, r, 0) for r in range(n)]
         + [(k4, r, 0) for r in range(k4)]
+        + [(k4, r, 1) for r in range(k4)]
         + [(n, r, 1) for r in range(n)]
     )
     sweeps: list[dict] = []
@@ -541,15 +563,21 @@ def run_scaling_interleaved(n: int) -> tuple[dict, dict]:
         "n_bookend_secs": [
             [chosen[(n, r, 0)]["secs"], chosen[(n, r, 1)]["secs"]] for r in range(n)
         ],
+        # both raw samples per 4N rank, for audit (the claimed wall is
+        # the per-rank min — see _k4_secs)
+        "per_exec_4n_samples": [
+            [chosen[(k4, r, 0)]["secs"], chosen[(k4, r, 1)]["secs"]]
+            for r in range(k4)
+        ],
     }
     n_res = [
         {**chosen[(n, r, 0)], "secs": round(_n_secs(chosen, n, r), 2)} for r in range(n)
     ]
-    return (
-        _pack(n, n_res),
-        _pack(k4, [chosen[(k4, r, 0)] for r in range(k4)]),
-        gate,
-    )
+    k4_res = [
+        {**chosen[(k4, r, 0)], "secs": round(_k4_secs(chosen, k4, r), 2)}
+        for r in range(k4)
+    ]
+    return (_pack(n, n_res), _pack(k4, k4_res), gate)
 
 
 def claim(a: dict, b: dict, gate: dict, mode: str, n: int) -> dict:
@@ -660,9 +688,11 @@ def main() -> None:
                     "(persistent warm daemons, serially scheduled — cluster-like long-lived "
                     "executors, no per-sweep cold-start); longitude-range ownership with exact "
                     "threshold-padded secondary slices (plans.distribute); drift-interleaved "
-                    "sweeps (N bookends around the 4N block, N wall = bookend mean), recorded "
-                    "sweep chosen by internal consistency (balanced 4N walls AND agreeing N "
-                    "bookends, fastest total), balance-gated sweeps to the full wall budget",
+                    "sweeps (N bookends around a twice-run 4N block; every task's wall = min "
+                    "of its two in-sweep samples — one-sided-noise floor estimator, applied "
+                    "identically to N and 4N), recorded sweep chosen by internal consistency "
+                    "(balanced per-rank-min 4N walls AND agreeing N bookends, fastest total), "
+                    "balance-gated sweeps to the full wall budget",
     }))
 
 
