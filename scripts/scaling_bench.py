@@ -606,6 +606,25 @@ def claim(a: dict, b: dict, gate: dict, mode: str, n: int) -> dict:
     return out
 
 
+def _reclaimed_budget(env_budget: float) -> float:
+    """Sweep budget actually available once prepare()+prewarm have run.
+
+    The caller sizes ``SPARK_GRAFT_SCALE_BUDGET_S`` assuming a worst-case
+    prepare allowance; with a warm corpus cache the real remaining wall is
+    hundreds of seconds larger — enough for an extra sweep, which is the
+    difference between a gate-met claim and a refusal when machine phases
+    outlast a single sweep.  Reclaim it: budget = (wall left − 60 s print
+    slack) / 1.3 (headroom for the in-sweep break's one-task overrun),
+    never BELOW the caller's env value (the promise stands) and never
+    applied when no wall deadline is armed (standalone/unit-test use keeps
+    the env budget verbatim; the absolute wall clamp remains the hard
+    guard either way)."""
+    left = _wall_left()
+    if left >= 1e8:  # unarmed
+        return env_budget
+    return max(env_budget, max(240.0, (left - 60.0) / 1.3))
+
+
 def _arm_wall_deadline() -> None:
     global _WALL_DEADLINE
     wall = os.environ.get("SPARK_GRAFT_SCALE_WALL_S")
@@ -657,6 +676,11 @@ def main() -> None:
             if _wall_left() < 180:
                 raise TimeoutError("wall budget exhausted during prepare()")
             _pool_prewarm(n)
+            # re-size the sweep budget from the wall actually left now that
+            # prepare/prewarm have run (see _reclaimed_budget)
+            os.environ["SPARK_GRAFT_SCALE_BUDGET_S"] = str(int(_reclaimed_budget(
+                float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "3600"))
+            )))
             a, b, gate = run_scaling_interleaved(n)
         except Exception as e:
             # last-resort refusal: the caller must ALWAYS get an artifact

@@ -310,3 +310,33 @@ def test_arm_wall_deadline_from_env(monkeypatch):
     SB._arm_wall_deadline()
     assert SB._WALL_DEADLINE == pytest.approx(_t.time() + 500, abs=5)
     SB._WALL_DEADLINE = None
+
+
+# ---------------------------------------------------------------------------
+# scaling_bench budget reclaim after prepare/prewarm (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_reclaimed_budget_grows_with_actual_wall_left(monkeypatch):
+    import time as _t
+
+    # caller promised 1120 s of sweeps assuming a 600 s prepare; prepare was
+    # warm and 2000 s of wall remain → the child may sweep (2000-60)/1.3
+    monkeypatch.setattr(SB, "_WALL_DEADLINE", _t.time() + 2000)
+    assert SB._reclaimed_budget(1120) == pytest.approx((2000 - 60) / 1.3, rel=0.01)
+    SB._WALL_DEADLINE = None
+
+
+def test_reclaimed_budget_never_shrinks_below_env(monkeypatch):
+    import time as _t
+
+    # a slow (cold) prepare ate the wall: the env budget stands — the wall
+    # clamps (_clamp_wait / the in-sweep _wall_left tier) are the guard
+    monkeypatch.setattr(SB, "_WALL_DEADLINE", _t.time() + 1000)
+    assert SB._reclaimed_budget(1120) == 1120
+    SB._WALL_DEADLINE = None
+
+
+def test_reclaimed_budget_unarmed_keeps_env_verbatim(monkeypatch):
+    monkeypatch.setattr(SB, "_WALL_DEADLINE", None)
+    assert SB._reclaimed_budget(1800) == 1800
