@@ -193,3 +193,45 @@ def test_boilerplate_chunks_hash_keyed_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_layout_join_is_exchange_free(spark, tmp_path):
+    """The write-once-shuffle-never lever: both conflation sides written
+    bucketed+sorted by the cell key (Iceberg bucket(N, cell) / Spark
+    bucketBy) must join with ZERO Exchange — the per-run shuffle is paid
+    once at layout time (plans/bucketed.py)."""
+    from osm_merge_spark import grid
+    from osm_merge_spark.plans import bucketed as B
+
+    ext = C.with_cells(
+        synth.external_ways(spark, SF).select("ext_id", "geom"),
+        "geom", grid.DEFAULT_ZOOM, pad_m=7.0,
+    ).select("ext_id", "cell")
+    osm = C.with_cells(
+        synth.osm_ways(spark, SF).select("way_id", "geom"),
+        "geom", grid.DEFAULT_ZOOM, pad_m=0.0,
+    ).select("way_id", "cell")
+    for name, df in (("t_bkt_ext", ext), ("t_bkt_osm", osm)):
+        B.write_bucketed(df, name, "cell", n_buckets=8, path=str(tmp_path / name))
+
+    # disable broadcast for the pin: at test SF both sides fit a broadcast,
+    # which would sidestep bucketing entirely; at 100 TB neither side does
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = B.colocated_join(spark, "t_bkt_ext", "t_bkt_osm", on="cell")
+        assert not B.plan_has_shuffle(joined)
+        assert joined.count() > 0
+
+        # control: the same join over plain (unbucketed) parquet DOES
+        # shuffle — the shuffle-free plan above is the bucketing, not luck
+        ext.write.mode("overwrite").parquet(str(tmp_path / "plain_ext"))
+        osm.write.mode("overwrite").parquet(str(tmp_path / "plain_osm"))
+        plain = spark.read.parquet(str(tmp_path / "plain_ext")).join(
+            spark.read.parquet(str(tmp_path / "plain_osm")), "cell"
+        )
+        assert B.plan_has_shuffle(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("t_bkt_ext", "t_bkt_osm"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
