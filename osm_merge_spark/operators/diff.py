@@ -57,3 +57,28 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(id_col, change.alias("change"), "old_sig", "new_sig")
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str = "way_id",
+) -> DataFrame:
+    """Apply an OsmChange-style changeset to a base snapshot (the MERGE
+    INTO / CDC-upsert shape: Iceberg's copy-on-write merge executes the
+    same plan).
+
+    ``changes`` carries (id, change ∈ created|deleted|modified, payload
+    columns matching ``base``).  Result = base rows whose id is untouched
+    (one LEFT ANTI equi-join — at 10^12 rows both sides are id-partitioned,
+    so it is co-located and shuffle-free after the first layout) UNION the
+    created+modified payloads.  ``unchanged`` rows in ``changes`` are
+    ignored (the base already has them)."""
+    touched = changes.filter(
+        F.col("change").isin("deleted", "modified", "created")
+    ).select(id_col)
+    kept = base.join(touched, id_col, "left_anti")
+    upserts = changes.filter(F.col("change").isin("created", "modified")).drop(
+        "change"
+    )
+    return kept.unionByName(upserts.select(*base.columns))

@@ -242,3 +242,81 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id, target_id, "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) cosine — the memory-bandwidth lever for 10^12-vector
+# corpora: codes are 4× smaller than float32, the per-vector scale cancels
+# out of cosine entirely, and the pair arithmetic is exact bigint — so the
+# quantized similarity is bitwise reproducible across engines.
+# ---------------------------------------------------------------------------
+
+
+def sq8_codes(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization codes.
+
+    ``q_j = floor(v_j * 127 / max|v| + 0.5)`` — round-half-up via an
+    explicit floor so Spark and any ANSI engine agree bitwise (library
+    round() ties diverge across engines).  The range is [-127, 127] by
+    construction (|v_j| ≤ max|v|), no clamp needed; an all-zero vector
+    quantizes to all zeros.  Stored as bigint here (Spark arrays carry no
+    int8 element type); an Iceberg table would persist the codes as a
+    4×-smaller binary column plus one float scale — and for cosine the
+    scale column can be dropped entirely (it cancels)."""
+    amax = F.aggregate(
+        vec, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    )
+    return F.when(
+        amax == 0, F.transform(vec, lambda v: F.lit(0).cast("bigint"))
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda v: F.floor(v.cast("double") * F.lit(127.0) / amax + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq8_topk(
+    probes: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    probe_id: str = "probe_id",
+    target_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by int8-quantized cosine: ``Σ q_a·q_b / sqrt(Σq_a² · Σq_b²)``
+    (the per-vector scales cancel, so the whole pair computation is one
+    exact bigint dot + one IEEE sqrt/divide).  Codes and code-norms are
+    computed once per ROW before the join, exactly like the float baseline.
+    The crossJoin parameterization is the small-probe-set demo shape; at
+    corpus scale the same scoring drops into the IVF/LSH bucketed joins
+    above as the cheaper pair kernel (4× less scan bandwidth, integer
+    SIMD)."""
+    p = probes.select(
+        F.col(probe_id), sq8_codes(F.col(vec_col)).alias("p_q")
+    ).withColumn("p_n2", _int_dot(F.col("p_q"), F.col("p_q")))
+    t = targets.select(
+        F.col(target_id), sq8_codes(F.col(vec_col)).alias("t_q")
+    ).withColumn("t_n2", _int_dot(F.col("t_q"), F.col("t_q")))
+    j = p.crossJoin(t).filter(F.col(probe_id) != F.col(target_id))
+    den = F.sqrt(F.col("p_n2").cast("double") * F.col("t_n2").cast("double"))
+    cs = F.when(den == 0, F.lit(0.0)).otherwise(
+        _int_dot(F.col("p_q"), F.col("t_q")).cast("double") / den
+    )
+    j = j.withColumn("cos_sq8", cs)
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos_sq8"), F.asc(target_id))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, target_id, "cos_sq8", "rank")
+    )

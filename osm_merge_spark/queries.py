@@ -3877,3 +3877,136 @@ def q_snapshot_diff(spark, sf_dir):
     return DF.snapshot_diff(
         old, new_base.unionAll(created), id_col="way_id", sig_cols=("status", "prio")
     ).orderBy("way_id")
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar-quantized cosine top-k (operators/similarity.sq8_topk) — the
+# 4×-bandwidth ANN kernel; scales cancel so the pair math is exact bigint.
+# ---------------------------------------------------------------------------
+
+_AMAX_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({v}, x -> abs(CAST(x AS DOUBLE)))), (a, b) -> greatest(a, b))"
+)
+_IDOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), s -> s[1] * s[2])), (x, y) -> x + y)"
+)
+_SQ8_Q_SQL = f"""
+      SELECT vec_id,
+             CASE WHEN amax = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))
+             END AS q
+      FROM (SELECT vec_id, embedding, {_AMAX_SQL.format(v="embedding")} AS amax
+            FROM embeddings)
+"""
+
+_SQ8_SQL = f"""
+    WITH codes AS ({_SQ8_Q_SQL}),
+    coded AS (
+      SELECT vec_id, q, {_IDOT_SQL.format(a="q", b="q")} AS n2 FROM codes
+    ),
+    p AS (SELECT vec_id AS probe_id, q AS p_q, n2 AS p_n2 FROM coded WHERE vec_id < 50),
+    pairs AS (
+      SELECT p.probe_id, t.vec_id,
+             CASE WHEN sqrt(CAST(p.p_n2 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) = 0 THEN 0.0
+                  ELSE CAST({_IDOT_SQL.format(a="p.p_q", b="t.q")} AS DOUBLE)
+                       / sqrt(CAST(p.p_n2 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+             END AS cs
+      FROM p CROSS JOIN coded t WHERE p.probe_id <> t.vec_id
+    )
+    SELECT probe_id, vec_id, cs AS cos_sq8, rank FROM (
+      SELECT probe_id, vec_id, cs,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 3 ORDER BY probe_id, rank
+"""
+
+
+@register("q_sq8_topk", _SQ8_SQL)
+def q_sq8_topk(spark, sf_dir):
+    """int8 scalar-quantized cosine top-3: codes = floor(v*127/max|v|+0.5)
+    (explicit-floor rounding so engines agree bitwise), pair math = exact
+    bigint dot + one IEEE sqrt/divide — the per-vector scales cancel out of
+    cosine, so no float payload rides the join at all."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return S.sq8_topk(probes, emb, k=3).orderBy("probe_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# CDC changeset apply (operators/diff.apply_changes) — the MERGE INTO shape:
+# base rows minus touched ids (one left-anti equi-join) union the upserts.
+# Changeset derived with q_snapshot_diff's deterministic perturbation.
+# ---------------------------------------------------------------------------
+
+_APPLY_SQL = """
+    WITH base AS (
+      SELECT o_orderkey AS way_id, o_orderstatus AS status, o_orderpriority AS prio
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey AS way_id, 'deleted' AS change,
+             o_orderstatus AS status, o_orderpriority AS prio
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'modified', o_orderstatus, 'X' || o_orderpriority
+      FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+      UNION ALL
+      SELECT -o_orderkey, 'created', o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 9 = 4
+    )
+    SELECT way_id, status, prio FROM (
+      SELECT b.* FROM base b
+      WHERE b.way_id NOT IN (SELECT way_id FROM changes)
+      UNION ALL
+      SELECT way_id, status, prio FROM changes
+      WHERE change IN ('created', 'modified')
+    ) ORDER BY way_id
+"""
+
+
+@register("q_apply_changes", _APPLY_SQL)
+def q_apply_changes(spark, sf_dir):
+    """Apply an OsmChange-style changeset to a base snapshot: left-anti
+    equi-join on the feature id + unionByName of the upserts
+    (operators/diff.apply_changes — Iceberg MERGE INTO's copy-on-write
+    plan)."""
+    from .operators import diff as DF
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("way_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    changes = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("way_id"),
+            F.lit("deleted").alias("change"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .unionByName(
+            o.filter((F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 5 == 0)).select(
+                F.col("o_orderkey").alias("way_id"),
+                F.lit("modified").alias("change"),
+                F.col("o_orderstatus").alias("status"),
+                F.concat(F.lit("X"), F.col("o_orderpriority")).alias("prio"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 9 == 4).select(
+                (-F.col("o_orderkey")).alias("way_id"),
+                F.lit("created").alias("change"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("prio"),
+            )
+        )
+    )
+    return DF.apply_changes(base, changes, id_col="way_id").orderBy("way_id")

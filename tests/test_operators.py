@@ -291,3 +291,64 @@ class TestSnapshotDiff:
         new = spark.createDataFrame(pd.DataFrame({"id": [1], "x": ["a"], "y": ["bc"]}))
         got = DF.snapshot_diff(old, new, id_col="id", sig_cols=("x", "y")).toPandas()
         assert got["change"].tolist() == ["modified"]
+
+
+class TestSq8AndApplyChanges:
+    def test_sq8_codes_range_and_zero_vector(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from osm_merge_spark.operators import similarity as S
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.5, -1.0, 0.25], [0.0, 0.0, 0.0]]})
+        )
+        got = df.select("vec_id", S.sq8_codes(F.col("embedding")).alias("q")).orderBy("vec_id").toPandas()
+        # max-magnitude component maps to ±127; q = floor(v*127/amax + 0.5)
+        assert list(got["q"][0]) == [64, -127, 32]
+        assert list(got["q"][1]) == [0, 0, 0]
+
+    def test_sq8_topk_self_excluded_and_identical_vec_ranks_first(self, spark):
+        import pandas as pd
+        from osm_merge_spark.operators import similarity as S
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": [1, 2, 3],
+                    "embedding": [[1.0, 0.0], [2.0, 0.0], [0.0, 1.0]],
+                }
+            )
+        )
+        probes = df.filter("vec_id = 1").selectExpr("vec_id AS probe_id", "embedding")
+        got = S.sq8_topk(probes, df, k=2).orderBy("rank").toPandas()
+        # vec 2 is colinear with the probe (quantized cosine exactly 1.0);
+        # the orthogonal vec 3 scores 0
+        assert got["vec_id"].tolist() == [2, 3]
+        assert got["cos_sq8"][0] == 1.0 and got["cos_sq8"][1] == 0.0
+
+    def test_apply_changes_truth_table(self, spark):
+        import pandas as pd
+        from osm_merge_spark.operators import diff as DF
+        from pyspark.sql import functions as F
+
+        base = spark.createDataFrame(
+            pd.DataFrame({"way_id": [1, 2, 3], "tags": ["a", "b", "c"]})
+        )
+        changes = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "way_id": [1, 2, 4, 3],
+                    "change": ["deleted", "modified", "created", "unchanged"],
+                    "tags": ["-", "B2", "d", "c"],
+                }
+            )
+        )
+        got = (
+            DF.apply_changes(base, changes, id_col="way_id")
+            .orderBy("way_id")
+            .toPandas()
+        )
+        # 1 deleted; 2 replaced by its modified payload; 3 untouched
+        # (unchanged rows are ignored, not duplicated); 4 created
+        assert got["way_id"].tolist() == [2, 3, 4]
+        assert got["tags"].tolist() == ["B2", "c", "d"]
