@@ -352,3 +352,43 @@ class TestSq8AndApplyChanges:
         # (unchanged rows are ignored, not duplicated); 4 created
         assert got["way_id"].tolist() == [2, 3, 4]
         assert got["tags"].tolist() == ["B2", "c", "d"]
+
+
+def test_incremental_conflation_equals_full_recompute(spark):
+    """The operational loop: when the external snapshot changes, re-running
+    conflation over ONLY the changed features plus the kept prior rows must
+    equal a full recompute over the new snapshot — exact, row for row."""
+    from pyspark.sql import functions as F
+    from osm_merge_spark.operators import conflate as C
+    from osm_merge_spark.operators import diff as DF
+    from osm_merge_spark.sources import synth
+
+    sf = "/root/testdata/sf0.001"
+    old = synth.external_ways(spark, sf)
+    secondary = synth.osm_ways(spark, sf)
+    # deterministic perturbation: drop %7 (deleted), move %5 by ~1 m
+    # (modified geometry), leave the rest byte-identical (unchanged)
+    # geom is a flat [x0,y0,x1,y1,...] array — shift the x coords only
+    shift = F.transform(
+        "geom",
+        lambda v, i: F.when(i % 2 == 0, v + F.lit(1e-5)).otherwise(v),
+    )
+    new = old.filter(F.col("ext_id") % 7 != 0).withColumn(
+        "geom", F.when(F.col("ext_id") % 5 == 0, shift).otherwise(F.col("geom"))
+    )
+
+    def compute(primary):
+        conflated, brand_new = C.conflate(primary, secondary, persist_best=False)
+        return {"conflated": conflated, "new": brand_new}
+
+    full = compute(new)
+    prior = compute(old)
+    inc = DF.incremental_recompute(
+        old, new, prior, compute, id_col="ext_id",
+        sig_cols=("geom", "tags"),
+    )
+
+    for name in ("conflated", "new"):
+        want = full[name].orderBy("ext_id").toPandas()
+        got = inc[name].orderBy("ext_id").toPandas()[want.columns.tolist()]
+        assert want.equals(got.reset_index(drop=True)), f"{name} diverged"
