@@ -320,3 +320,76 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id, target_id, "cos_sq8", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means — the iterative-algorithm pattern on Spark: per-iteration
+# assign (broadcast centroids, argmin inside codegen) + update (one partial
+# aggregate), driver holds only k×dim floats.  Feeds the IVF index with a
+# data-adaptive coarse quantizer (the hyperplane quantizer above is
+# data-independent).
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_to_centroids(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Attach ``cluster`` = argmin squared distance over the broadcast
+    centroid list (ties → lowest cluster id).  Pure Column expression —
+    the k×dim literals ride the plan, nothing shuffles."""
+    best_d, best_i = None, None
+    for i, c in enumerate(centroids):
+        d = _sq_dist(F.col(vec_col), c)
+        if best_d is None:
+            best_d, best_i = d, F.lit(0)
+        else:
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return df.withColumn("cluster", best_i)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations: init = the k lowest-id vectors,
+    then ``iters`` rounds of assign (broadcast literals) + mean-update
+    (ONE map-side-partial aggregate per round; the k×dim result collects
+    to the driver).  An empty cluster keeps its previous centroid.  At
+    10^12 rows each round is one scan + one tiny shuffle — the canonical
+    Spark iterative shape (MLlib's KMeans runs the same loop)."""
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_to_centroids(df, vec_col, centroids)
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.sum(F.element_at(F.col(vec_col), j + 1).cast("double")).alias(f"s{j}")
+                    for j in range(dim)
+                ],
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = {r["cluster"]: [r[f"s{j}"] / r["n"] for j in range(dim)] for r in sums}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids

@@ -4010,3 +4010,70 @@ def q_apply_changes(spark, sf_dir):
         )
     )
     return DF.apply_changes(base, changes, id_col="way_id").orderBy("way_id")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py) — each purchase joined to the user's latest
+# click at-or-before it.  DuckDB's native ASOF JOIN is the oracle.  The
+# right side is pre-aggregated to one row per (user, ts) so the latest-match
+# is unique and both engines are deterministic.
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts, max(value) AS value FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS asof_ts, c.value AS asof_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+"""
+
+
+@register("q_asof_join", _ASOF_SQL)
+def q_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join via one union + running
+    last(ignoreNulls) window per key — a single shuffle, no range
+    self-join, no Python (operators/asof.py)."""
+    from .operators import asof as AS
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return AS.asof_join(
+        purchases, clicks, key="user_id", right_payload=("value",)
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means (operators/similarity.kmeans_fit) — iterative algorithm:
+# no SQL twin (the driver records the weaker rows-only check for iterative
+# ops); tests/test_operators.py verifies against an identical numpy Lloyd
+# reference instead.
+# ---------------------------------------------------------------------------
+
+
+@register("q_kmeans_clusters", None)
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic-init Lloyd k-means over the embeddings (k=8, 5
+    rounds: broadcast-literal assign + one partial-agg mean update per
+    round), reported as cluster sizes + the data-adaptive coarse-quantizer
+    assignment the IVF index would use."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(emb, k=8, iters=5)
+    return (
+        S.assign_to_centroids(emb, "embedding", cents)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("cluster")
+    )

@@ -392,3 +392,64 @@ def test_incremental_conflation_equals_full_recompute(spark):
         want = full[name].orderBy("ext_id").toPandas()
         got = inc[name].orderBy("ext_id").toPandas()[want.columns.tolist()]
         assert want.equals(got.reset_index(drop=True)), f"{name} diverged"
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: equal timestamps match; rows before any
+    right row get nulls; matches never cross keys."""
+    import datetime as dt
+    import pandas as pd
+    from osm_merge_spark.operators import asof as AS
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [10, 10, 10, 20],
+        "ts": [t(5), t(10), t(2), t(10)],
+        "value": [1.0, 2.0, 3.0, 4.0],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user_id": [10, 10, 20],
+        "ts": [t(5), t(7), t(11)],
+        "value": [50.0, 70.0, 99.0],
+    }))
+    got = (
+        AS.asof_join(left, right, key="user_id")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    # event 1 at t5: inclusive match with the t5 click (value 50)
+    # event 2 at t10: latest at-or-before is t7 (70)
+    # event 3 at t2: no click yet -> nulls
+    # event 4 user 20 at t10: user 20's only click is t11 (after) -> nulls
+    assert got["asof_value"].tolist()[0] == 50.0
+    assert got["asof_value"].tolist()[1] == 70.0
+    assert pd.isna(got["asof_value"][2]) and pd.isna(got["asof_ts"][2])
+    assert pd.isna(got["asof_value"][3])
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """kmeans_fit == the identical Lloyd algorithm in numpy: same init
+    (k lowest ids), same argmin tie rule, same mean update; assignments
+    must agree (modulo float-sum ordering at cluster borders: >=99%)."""
+    from osm_merge_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ep = emb.orderBy("vec_id").toPandas()
+    V = np.stack(ep["embedding"].values).astype(np.float64)
+    k, iters = 4, 3
+    C = V[:k].copy()
+    for _ in range(iters):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for i in range(k):
+            if (a == i).any():
+                C[i] = V[a == i].mean(axis=0)
+    got_c = np.array(S.kmeans_fit(emb, k=k, iters=iters))
+    assert np.allclose(got_c, C, atol=1e-6)
+    got_a = (
+        S.assign_to_centroids(emb, "embedding", [list(c) for c in got_c])
+        .select("vec_id", "cluster").orderBy("vec_id").toPandas()["cluster"].values
+    )
+    d = ((V[:, None, :] - got_c[None, :, :]) ** 2).sum(axis=2)
+    assert (got_a == d.argmin(axis=1)).mean() >= 0.99
