@@ -4077,3 +4077,121 @@ def q_kmeans_clusters(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup (operators/rollup.py): coarse grains re-aggregate the
+# materialized fine grain, never the raw table; DECIMAL accumulation makes
+# the sums order-independent, so the oracle compare is bitwise.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+    WITH fine AS (
+      SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(CAST(value AS DECIMAL(28,6))) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ws - ws % 3600 AS ws, event_type,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(CAST(sum(total_value) AS DECIMAL(28,6)) AS DOUBLE) AS total_value
+    FROM fine GROUP BY 1, 2 ORDER BY ws, event_type
+"""
+
+
+@register("q_hypertable_rollup", _ROLLUP_SQL)
+def q_hypertable_rollup(spark, sf_dir):
+    """Two-level continuous aggregate: minute rollup materialized once,
+    hour level re-aggregated from it (rollup.rollup_time + reaggregate) —
+    the re-aggregation property count/sum monoids guarantee, pinned
+    bitwise by DECIMAL accumulation."""
+    from .operators import rollup as R
+
+    ev = _t(spark, sf_dir, "events")
+    hour = R.reaggregate(R.rollup_time(ev, "minute"), grain_s=3600)
+    return hour.select(
+        "ws", "event_type", "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("ws", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Temporal range join (operators/rollup.range_join_temporal): epoch-bucket
+# manufactured equi-key + exact refine — the time analog of the conflation
+# grid.  Intervals are deterministic: 50 strides of 14 h from 2024-01-01,
+# lengths (iid % 7 + 1) h, so they never overlap and DuckDB can build the
+# identical table.
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_SQL = """
+    WITH iv AS (
+      SELECT range AS interval_id,
+             1704067200 + range * 50400 AS start_epoch,
+             1704067200 + range * 50400 + ((range % 7) + 1) * 3600 AS end_epoch
+      FROM range(50)
+    )
+    SELECT e.event_id, e.user_id, iv.interval_id, iv.start_epoch, iv.end_epoch
+    FROM events e JOIN iv
+      ON CAST(epoch(e.ts) AS BIGINT) >= iv.start_epoch
+     AND CAST(epoch(e.ts) AS BIGINT) < iv.end_epoch
+    ORDER BY e.event_id
+"""
+
+
+@register("q_range_join", _RANGE_JOIN_SQL)
+def q_range_join(spark, sf_dir):
+    """Events joined to the deterministic interval table containing them:
+    intervals explode to hour-wide epoch buckets, events carry one bucket,
+    bucket equi-join + exact refine — never an unbounded theta join."""
+    from .operators import rollup as R
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    iv = spark.range(50).select(
+        F.col("id").alias("interval_id"),
+        (F.lit(1704067200) + F.col("id") * 50400).alias("start_epoch"),
+        (F.lit(1704067200) + F.col("id") * 50400 + (F.pmod(F.col("id"), F.lit(7)) + 1) * 3600).alias(
+            "end_epoch"
+        ),
+    )
+    return (
+        R.range_join_temporal(ev, iv, bucket_s=3600)
+        .select("event_id", "user_id", "interval_id", "start_epoch", "end_epoch")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (operators/sketch.py): k smallest distinct
+# hashes per group; estimate (k-1)·M/h_k — deterministic and mergeable,
+# unlike HLL++ whose internal state no oracle can re-derive.
+# ---------------------------------------------------------------------------
+
+_KMV_SQL = """
+    WITH h AS (
+      SELECT DISTINCT event_type, (user_id * 2654435761) % 2147483647 AS h FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM h
+    ),
+    a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k
+      FROM r WHERE r <= 64 GROUP BY event_type
+    )
+    SELECT event_type, n_kept,
+           CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                ELSE 63.0 * 2147483647.0 / CAST(h_k AS DOUBLE) END AS kmv_estimate
+    FROM a ORDER BY event_type
+"""
+
+
+@register("q_kmv_distinct", _KMV_SQL)
+def q_kmv_distinct(spark, sf_dir):
+    """Per-event-type KMV distinct-user estimate (k=64): one (group, hash)
+    dedup shuffle + a per-group rank window — constant per-group state,
+    mergeable map-side, where exact distinct ships the whole key set."""
+    from .operators import sketch as SK
+
+    ev = _t(spark, sf_dir, "events")
+    return SK.kmv_distinct(ev, "event_type", "user_id", k=64).orderBy("event_type")

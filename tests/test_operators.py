@@ -453,3 +453,61 @@ def test_kmeans_matches_numpy_lloyd(spark):
     )
     d = ((V[:, None, :] - got_c[None, :, :]) ** 2).sum(axis=2)
     assert (got_a == d.argmin(axis=1)).mean() >= 0.99
+
+
+def test_hypertable_reaggregation_property(spark):
+    """hour-from-minute must equal hour-from-raw exactly (DECIMAL sums are
+    order-independent — the property that makes the fine rollup the only
+    table coarse grains ever read)."""
+    from osm_merge_spark.operators import rollup as R
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    via_fine = (
+        R.reaggregate(R.rollup_time(ev, "minute"), grain_s=3600)
+        .orderBy("ws", "event_type")
+        .toPandas()
+    )
+    direct = R.rollup_time(ev, "hour").orderBy("ws", "event_type").toPandas()
+    assert via_fine["ws"].tolist() == direct["ws"].tolist()
+    assert via_fine["n_events"].tolist() == direct["n_events"].tolist()
+    assert (via_fine["total_value"] == direct["total_value"]).all()
+
+
+def test_range_join_boundaries(spark):
+    """start inclusive, end exclusive, multi-bucket intervals still match."""
+    import datetime as dt
+    from osm_merge_spark.operators import rollup as R
+
+    base = 1704067200  # 2024-01-01 UTC
+    ev = spark.createDataFrame(
+        pd.DataFrame({
+            "event_id": [1, 2, 3, 4],
+            "ts": [dt.datetime.utcfromtimestamp(base + s) for s in (0, 7199, 7200, 9000)],
+        })
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"interval_id": [0], "start_epoch": [base], "end_epoch": [base + 7200]})
+    )
+    got = R.range_join_temporal(ev, iv, bucket_s=3600).toPandas()
+    # 0 (start, inclusive) and 7199 are in; 7200 (end, exclusive) and 9000 out
+    assert sorted(got["event_id"].tolist()) == [1, 2]
+
+
+def test_kmv_estimate_accuracy_and_small_group_exact(spark):
+    from pyspark.sql import functions as F
+    from osm_merge_spark.operators import sketch as SK
+
+    big = spark.range(5000).select(
+        F.lit("big").alias("g"), F.col("id").alias("uid")
+    )
+    small = spark.range(10).select(F.lit("small").alias("g"), F.col("id").alias("uid"))
+    got = (
+        SK.kmv_distinct(big.unionByName(small), "g", "uid", k=64)
+        .orderBy("g")
+        .toPandas()
+        .set_index("g")
+    )
+    # small group: below k -> exact
+    assert got.loc["small", "kmv_estimate"] == 10.0
+    # big group: estimator within ~3 standard errors (1/sqrt(k-2) ~ 12.7%)
+    assert abs(got.loc["big", "kmv_estimate"] - 5000) / 5000 < 0.4
