@@ -1,8 +1,9 @@
 """Snapshot diff — the osmium ``derive-changes`` / OsmChange-file pattern.
 
-The reference's workflow consumes OSM extracts that move underneath it
-(`osm-merge` re-runs conflation against fresh extracts; osmium-tool's
-derive-changes computes what changed between two).  This operator classifies
+The reference's workflow consumes OSM extracts that move underneath it:
+`contrib/update.sh:124-142` re-cuts fresh per-state extracts with osmium
+and the whole conflation pipeline re-runs from scratch against them;
+osmium-tool's derive-changes computes what changed between two snapshots.  This operator classifies
 every feature id across two snapshots as created / deleted / modified /
 unchanged by comparing map-side content signatures.
 
