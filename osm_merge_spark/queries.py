@@ -4132,8 +4132,8 @@ _RANGE_JOIN_SQL = """
     )
     SELECT e.event_id, e.user_id, iv.interval_id, iv.start_epoch, iv.end_epoch
     FROM events e JOIN iv
-      ON CAST(epoch(e.ts) AS BIGINT) >= iv.start_epoch
-     AND CAST(epoch(e.ts) AS BIGINT) < iv.end_epoch
+      ON CAST(floor(epoch(e.ts)) AS BIGINT) >= iv.start_epoch
+     AND CAST(floor(epoch(e.ts)) AS BIGINT) < iv.end_epoch
     ORDER BY e.event_id
 """
 
@@ -4195,3 +4195,64 @@ def q_kmv_distinct(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return SK.kmv_distinct(ev, "event_type", "user_id", k=64).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (§2.9, streaming/events.interval_join_streams):
+# purchases × same-user clicks within the preceding hour, both streams
+# watermarked so the join state is bounded.  availableNow drain == the batch
+# interval join, which is the DuckDB twin.
+# ---------------------------------------------------------------------------
+
+_SS_JOIN_SQL = """
+    SELECT p.event_id AS p_id, p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS p_ts,
+           c.event_id AS click_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS c_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ORDER BY p_id, click_id
+"""
+
+
+@register("q_stream_stream_join", _SS_JOIN_SQL)
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join drained with availableNow:
+    two parquet readStreams (purchases, clicks), 2 h watermarks, join state
+    bounded by the [ts-1h, ts] condition in both directions."""
+    import os
+    import tempfile
+
+    from .streaming import events as SE
+
+    base = tempfile.mkdtemp(prefix="oms_ssjoin_")
+    os.makedirs(f"{base}/in")
+    os.symlink(f"{sf_dir}/events.parquet", f"{base}/in/events.parquet")
+    purchases = SE.read_events_stream(spark, f"{base}/in").filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = SE.read_events_stream(spark, f"{base}/in").filter(
+        F.col("event_type") == "click"
+    )
+    joined = SE.interval_join_streams(purchases, clicks)
+    q = (
+        joined.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(f"{base}/out"))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select(
+            "p_id",
+            "user_id",
+            F.unix_timestamp("p_ts").alias("p_ts"),
+            "click_id",
+            F.unix_timestamp("c_ts").alias("c_ts"),
+        )
+        .orderBy("p_id", "click_id")
+    )

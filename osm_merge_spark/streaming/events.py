@@ -81,3 +81,38 @@ def dedup_stream(
     that don't need determinism.
     """
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_streams(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: every purchase paired with
+    the same user's clicks inside ``[p.ts - gap, p.ts]`` (both bounds
+    inclusive).
+
+    Both sides carry a watermark and the join condition bounds event time
+    in both directions, so Spark can size the join state and expire rows —
+    the state-bounded shape a continuous deployment needs (an unbounded
+    stream-stream join would accumulate forever).  With ``availableNow``
+    the drained result equals the batch interval join, which is what the
+    oracle compares against."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND c_ts >= p_ts - interval {gap} AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select("p_id", "user_id", "p_ts", "click_id", "c_ts")

@@ -207,3 +207,34 @@ def test_stream_dedup_across_microbatches(spark, tmpdir):
         for r in spark.read.parquet(out).select("user_id", "event_type").collect()
     )
     assert got == [(7, "a"), (7, "b"), (8, "a"), (9, "z")]
+
+
+def test_interval_join_streams_bounds(spark):
+    """Inclusive [p.ts - gap, p.ts] window; cross-user pairs never match.
+    (withWatermark is a no-op on a batch frame, so the join semantics are
+    testable without a streaming sink; q_stream_stream_join drives the
+    real availableNow drain.)"""
+    import datetime as dt
+    import pandas as pd
+    from osm_merge_spark.streaming import events as SE
+
+    t = lambda s: dt.datetime(2026, 1, 1, 1, 0, s)
+    purchases = spark.createDataFrame(pd.DataFrame({
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "ts": [t(0), t(0)],
+        "event_type": ["purchase"] * 2,
+    }))
+    clicks = spark.createDataFrame(pd.DataFrame({
+        "event_id": [100, 101, 102, 103],
+        "user_id": [10, 10, 10, 20],
+        # -1h exactly (inclusive), inside, after purchase (excluded), wrong user ok
+        "ts": [dt.datetime(2026, 1, 1, 0, 0, 0), t(0), dt.datetime(2026, 1, 1, 1, 0, 1), t(0)],
+        "event_type": ["click"] * 4,
+    }))
+    got = (
+        SE.interval_join_streams(purchases, clicks)
+        .orderBy("p_id", "click_id")
+        .toPandas()
+    )
+    assert list(zip(got["p_id"], got["click_id"])) == [(1, 100), (1, 101), (2, 103)]
