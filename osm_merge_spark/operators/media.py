@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import mjpeg, png
+from ..functions import mjpeg, png, wav
 
 # ---------------------------------------------------------------------------
 # Tile-ref math (z/y/x strings ↔ columns; Bing quadkey)
@@ -388,3 +388,129 @@ def sample_frames(media: DataFrame, every_n: int = 4, fps: float = 30.0) -> Data
             yield pd.DataFrame(rows, columns=["doc_id", "media_ref", "frame_idx", "t_offset", "frame_sig"])
 
     return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV) leg — real RIFF/PCM16 decode via functions/wav.py
+# ---------------------------------------------------------------------------
+
+
+def synth_wav_batch(refs: pd.Series) -> pd.Series:
+    """Deterministic VALID mono WAV per ref: md5(ref) seeds the length
+    (n = 64 + (b0·256 + b1) % 449) and a base phase b2; sample[i] =
+    ((b2·257 + i·73) % 65536) − 32768 (int16).  Same arithmetic class as
+    synth_png_batch — every decoded sample is reproducible in the DuckDB
+    oracle from the ref string alone."""
+    import hashlib
+
+    out = []
+    for ref in refs:
+        d = hashlib.md5(str(ref).encode()).hexdigest()
+        b0, b1, b2 = int(d[0:2], 16), int(d[2:4], 16), int(d[4:6], 16)
+        n = 64 + (b0 * 256 + b1) % 449
+        i = np.arange(n, dtype=np.int64)
+        samples = ((b2 * 257 + i * 73) % 65536 - 32768).astype(np.int16)
+        out.append(wav.encode_wav_pcm16(samples, rate=8000))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_wav_payload(ref: pd.Series) -> pd.Series:
+    return synth_wav_batch(ref)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("head_sig", T.StringType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas audio features over (doc_id, media_ref, payload binary):
+    real RIFF/PCM16 decode (`functions/wav.py`), numpy-reduced per blob —
+    sample_rate/n_samples/duration from the parsed header+data, rms over
+    the full waveform, head_sig = first 8 samples (wrapped) as a
+    comma-joined signature (the hash-exact oracle surface; rms is pinned
+    against numpy in pytest).  Undecodable payloads yield a schema-stable
+    null-feature row (quarantine semantics, like decode_media_batch)."""
+
+    def _one(blob) -> tuple:
+        try:
+            rate, _ch, s = wav.decode_wav(bytes(blob))
+        except Exception:
+            return (None, None, None, None, None)
+        n = int(s.size)
+        idx = np.arange(8) % max(n, 1)
+        sig = ",".join(str(int(v)) for v in s[idx]) if n else ""
+        rms = float(np.sqrt(np.mean(s.astype(np.float64) ** 2))) if n else 0.0
+        return (rate, n, n * 1000 // rate, rms, sig)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pd.DataFrame(
+                [_one(b) for b in pdf["payload"]],
+                columns=["sample_rate", "n_samples", "duration_ms", "rms", "head_sig"],
+            )
+            feats.insert(0, "media_ref", pdf["media_ref"].values)
+            feats.insert(0, "doc_id", pdf["doc_id"].values)
+            yield feats
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("t_offset_ms", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("sum_abs", T.LongType()),
+    ]
+)
+
+
+def audio_windows(media: DataFrame, win: int = 32) -> DataFrame:
+    """Windowed audio energy — the audio analog of video frame sampling
+    (`sample_frames`): decode, split the waveform into fixed ``win``-sample
+    windows, emit per-window t_offset and integer |x| energy (exact int64
+    math so the oracle re-derives it bit-for-bit).  One input row fans out
+    to ceil(n/win) rows inside the same Arrow batch — bounded per-row work,
+    no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, blob in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                try:
+                    rate, _ch, s = wav.decode_wav(bytes(blob))
+                except Exception:
+                    continue
+                a = np.abs(s.astype(np.int64))
+                for w_i in range(0, s.size, win):
+                    chunk = a[w_i : w_i + win]
+                    rows.append(
+                        (
+                            doc_id,
+                            ref,
+                            w_i // win,
+                            w_i * 1000 // rate,
+                            int(chunk.size),
+                            int(chunk.sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "win_idx", "t_offset_ms", "n", "sum_abs"],
+            )
+
+    return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)

@@ -56,3 +56,34 @@ def kmv_distinct(
         F.lit(float(k - 1)) * F.lit(float(HASH_MOD)) / F.col("h_k").cast("double")
     )
     return agg.select(group_col, "n_kept", est.alias("kmv_estimate"))
+
+
+def exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+) -> DataFrame:
+    """Exact per-group quantiles (percentile_disc semantics: the value at
+    rank ``ceil(p·n)`` in sort order) for every p in ``ps``.
+
+    Plan: one window pass per group (row_number + count over the group
+    key — a single shuffle on ``group_col``), cross-joined against the
+    tiny literal p-list (broadcast, |ps| rows) and filtered to the target
+    ranks.  Scale posture: exact quantiles need a per-group sort, which
+    the group-key window gives for free when groups are many and modest;
+    for ONE giant group the scale path is ``F.percentile_approx`` (KLL-ish
+    sketch, mergeable map-side) — this operator is the exact twin whose
+    results an oracle can re-derive bit-for-bit.
+    """
+    spark = df.sparkSession
+    ps_df = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = df.select(group_col, value_col).withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count("*").over(Window.partitionBy(group_col)))
+    return (
+        ranked.join(F.broadcast(ps_df))
+        .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("bigint"))
+        .select(group_col, "p", F.col(value_col).alias("q"))
+    )

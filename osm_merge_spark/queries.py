@@ -4256,3 +4256,205 @@ def q_stream_stream_join(spark, sf_dir):
         )
         .orderBy("p_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order spatial layout (operators/layout.py): Morton-key clustering audit.
+# The SQL twin's interleave expression is GENERATED from the same bit math
+# (layout.zorder_key_sql) so the key is checked bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_buckets_sql() -> str:
+    from .operators.layout import zorder_key_sql
+
+    zk = zorder_key_sql("lon", "lat", bits=16)
+    return f"""
+    WITH pts AS ({CUST_PT_SQL}),
+    keyed AS (SELECT lon, lat, ({zk}) AS zkey FROM pts),
+    stats AS (SELECT min(zkey) AS z_lo, max(zkey) + 1 AS z_hi FROM keyed)
+    SELECT least(CAST(floor((zkey - z_lo) * 16.0 / (z_hi - z_lo)) AS BIGINT), 15) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(lon) AS min_lon, max(lon) AS max_lon,
+           min(lat) AS min_lat, max(lat) AS max_lat
+    FROM keyed CROSS JOIN stats GROUP BY 1 ORDER BY bucket
+    """
+
+
+@register("q_zorder_buckets", _zorder_buckets_sql())
+def q_zorder_buckets(spark, sf_dir):
+    """Morton-layout locality audit over the customer points: fixed-width
+    zkey buckets with row counts and geographic extent (pure Column bit
+    math + one groupBy — the write path is layout.zorder_layout's
+    repartitionByRange on the same key)."""
+    from .operators import layout as L
+
+    pts = customer_points(spark, sf_dir)
+    return L.zorder_buckets(pts, "lon", "lat", n_buckets=16, bits=16).withColumn(
+        "n_rows", F.col("n_rows").cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join (operators/bloomjoin.py): result is exact —
+# the bitmap only prunes the big side before the shuffle — so the twin is
+# the plain IN-subquery semi-join.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEMI_SQL = """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 3)
+    ORDER BY o_orderkey
+"""
+
+
+@register("q_bloom_semijoin", _BLOOM_SEMI_SQL)
+def q_bloom_semijoin(spark, sf_dir):
+    """Orders placed by nation-3 customers via the Bloom-pruned semi-join:
+    a 4096-bit literal bitmap filters orders JVM-side before any exchange;
+    the broadcast left_semi confirm strikes false positives, so the output
+    equals the plain semi-join bit-for-bit."""
+    from .operators import bloomjoin as B
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 3)
+    return (
+        B.bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles (operators/sketch.exact_quantiles):
+# percentile_disc semantics re-derived by rank join on both sides.
+# ---------------------------------------------------------------------------
+
+_EXACT_QUANTILES_SQL = """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority, p, o_totalprice AS q
+    FROM r CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.9)) AS ps(p)
+    WHERE rn = CAST(ceil(p * n) AS BIGINT)
+    ORDER BY o_orderpriority, p
+"""
+
+
+@register("q_exact_quantiles", _EXACT_QUANTILES_SQL)
+def q_exact_quantiles(spark, sf_dir):
+    """Exact o_totalprice quantiles per order priority (p = .25/.5/.75/.9):
+    one group-key window shuffle + a broadcast join against the 4-row
+    p-list.  The single-giant-group scale path is percentile_approx; this
+    is the oracle-exact twin."""
+    from .operators import sketch as SK
+
+    orders = _t(spark, sf_dir, "orders")
+    return SK.exact_quantiles(orders, "o_orderpriority", "o_totalprice",
+                              [0.25, 0.5, 0.75, 0.9]).orderBy("o_orderpriority", "p")
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV) decode — the third multimodal leg (images: q_media_features,
+# video: q_mjpeg_frames/q_apng_frames, audio: here).  The engine decodes
+# REAL RIFF/PCM16 bytes (functions/wav.py); the twin predicts every sample
+# analytically from the deterministic synth construction
+# (media.synth_wav_batch: n = 64 + (b0·256+b1) % 449, s[i] =
+# (b2·257 + i·73) % 65536 − 32768 at 8 kHz).
+# ---------------------------------------------------------------------------
+
+
+def _audio_dims_sql() -> str:
+    b = [
+        f"({_HEXB.format(p=2 * i + 1)} * 16 + {_HEXB.format(p=2 * i + 2)}) AS b{i}"
+        for i in range(3)
+    ]
+    return f"""
+    WITH o AS (SELECT o_orderkey AS k FROM orders),
+    m AS (
+      SELECT 'doc-' || CAST(k AS VARCHAR) AS doc_id,
+             'audio/' || CAST(k AS VARCHAR) || '.wav' AS media_ref
+      FROM o
+    ),
+    hx AS (SELECT doc_id, media_ref, md5(media_ref) AS h FROM m),
+    bb AS (SELECT doc_id, media_ref, {", ".join(b)} FROM hx),
+    d AS (SELECT doc_id, media_ref, 64 + (b0 * 256 + b1) % 449 AS n, b2 FROM bb)
+    """
+
+
+def _audio_features_sql() -> str:
+    sig = " || ',' || ".join(
+        f"CAST((b2 * 257 + {i} * 73) % 65536 - 32768 AS VARCHAR)" for i in range(8)
+    )
+    return (
+        _audio_dims_sql()
+        + f"""
+    SELECT doc_id, media_ref,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+           {sig} AS head_sig
+    FROM d ORDER BY doc_id
+    """
+    )
+
+
+def _audio_media(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    return o.select(
+        F.concat(F.lit("doc-"), F.col("k").cast("string")).alias("doc_id"),
+        F.concat(F.lit("audio/"), F.col("k").cast("string"), F.lit(".wav")).alias(
+            "media_ref"
+        ),
+    ).withColumn("payload", M.synth_wav_payload("media_ref"))
+
+
+@register("q_audio_features", _audio_features_sql())
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio decode: synthesized VALID WAV per doc →
+    mapInPandas feature extraction running the real pure-python RIFF/PCM16
+    decoder.  sample_rate/n_samples/duration come from parsed bytes;
+    head_sig is the first 8 decoded samples (hash-exact oracle surface;
+    rms is pinned against numpy in pytest)."""
+    out = M.extract_audio_features(_audio_media(spark, sf_dir))
+    return out.select(
+        "doc_id", "media_ref", "sample_rate", "n_samples", "duration_ms", "head_sig"
+    ).orderBy("doc_id")
+
+
+_AUDIO_WINDOWS_SQL = (
+    _audio_dims_sql()
+    + """
+    , w AS (
+      SELECT doc_id, media_ref, n, b2, t.i AS i
+      FROM d CROSS JOIN range(512) AS t(i)
+      WHERE t.i < n
+    ),
+    s AS (
+      SELECT doc_id, media_ref, CAST(i // 32 AS INTEGER) AS win_idx,
+             abs((b2 * 257 + i * 73) % 65536 - 32768) AS av
+      FROM w
+    )
+    SELECT doc_id, media_ref, win_idx,
+           CAST((win_idx * 32 * 1000) // 8000 AS BIGINT) AS t_offset_ms,
+           CAST(count(*) AS INTEGER) AS n,
+           CAST(sum(av) AS BIGINT) AS sum_abs
+    FROM s GROUP BY doc_id, media_ref, win_idx
+    ORDER BY doc_id, win_idx
+    """
+)
+
+
+@register("q_audio_windows", _AUDIO_WINDOWS_SQL)
+def q_audio_windows(spark, sf_dir):
+    """Windowed audio energy (the audio analog of video frame sampling):
+    real WAV decode → 32-sample windows → per-window t_offset + exact
+    integer |x| energy.  Fan-out happens inside the Arrow batch — bounded
+    per-row work, no shuffle; the oracle re-derives every window sum from
+    the synth arithmetic."""
+    return M.audio_windows(_audio_media(spark, sf_dir), win=32).orderBy(
+        "doc_id", "win_idx"
+    )
