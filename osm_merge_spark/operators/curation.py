@@ -390,3 +390,68 @@ def dedup_paragraphs(
             F.coalesce("text_kept", F.lit("")).alias("text_kept"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each row draws its coin u from the portable hash of
+    its key (never rand() — resumption/retry/AQE-safe, same doctrine as
+    stratified_sample), forms the ES key, and the k largest keys are the
+    sample.  Inclusion probability is proportional to weight, and the
+    whole draw is reproducible from the key column alone.
+
+    The key is kept in the LOG domain: ``es_key = ln(u)/w`` is order-
+    equivalent to the textbook ``u^(1/w)`` (ln is monotone; both sides
+    negative-to-zero) but numerically far better conditioned — u^(1/w)
+    clusters all keys within ~1e-5 of 1.0 for large weights, where a
+    cross-engine pow() ulp can flip the shared rounding, while ln(u)/w
+    spreads them over ~1e-5-magnitude values whose 12-dp rounding is
+    ~1e9 ulps wide.
+
+    u is shifted to (0, 1] (``(h%M + 1)/M``) so zero-coin rows can't hit
+    ln(0); rows with weight <= 0 are excluded (ES is defined for positive
+    weights).
+
+    Plan: per-group it's one window shuffle on ``group_col``; global
+    (group_col=None) it's orderBy+limit, which Catalyst executes as
+    TakeOrderedAndProject — per-partition top-k then a k-row driver merge,
+    no global sort materialization.  Both scale: the 100 TB cost is one
+    pass + one k-sized (or per-group) selection.
+    """
+    u = (
+        (
+            _mixed_hash(F.col(key_col).cast("string")) % _U_MOD + F.lit(1)
+        ).cast("double")
+        / _U_MOD
+    )
+    keyed = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("u", F.round(u, 6))
+        .withColumn(
+            "es_key",
+            F.round(F.log(F.col("u")) / F.col(weight_col).cast("double"), 12),
+        )
+    )
+    if group_col is None:
+        return keyed.orderBy(F.desc("es_key"), F.col(key_col)).limit(k)
+    w = Window.partitionBy(group_col).orderBy(F.desc("es_key"), F.col(key_col))
+    return (
+        keyed.withColumn("es_rank", F.row_number().over(w))
+        .filter(F.col("es_rank") <= k)
+    )
+
+
+def _mixed_hash(s: Column) -> Column:
+    """The poly-hash + two MINSTD mix rounds used by hash_uniform, exposed
+    as the raw bigint (weighted_sample_topk needs the +1 shift before the
+    mod-to-unit-interval step)."""
+    h = TX.string_poly_hash(s)
+    for _ in range(2):
+        h = (h * 48271) % TX.HASH_MOD
+    return h

@@ -123,3 +123,57 @@ def incremental_recompute(
         name: prior.join(unchanged, id_col, "left_semi").unionByName(fresh[name])
         for name, prior in prior_outputs.items()
     }
+
+
+def table_checksum(
+    df: DataFrame, cols: list[str], group_col: str
+) -> DataFrame:
+    """Per-group anti-entropy checksum: the bigint SUM of portable
+    poly-hashes of the unit-separated row rendering, plus the row count.
+
+    Two replicas of a 100 TB table compare by exchanging |groups| rows of
+    (n, checksum) — a mismatch pins the divergent group without moving
+    data (the Cassandra/Dynamo merkle-repair idea flattened to one
+    level).  Integer sum = order-independent = safe under any shuffle;
+    the same fold is one GROUP BY in any ANSI engine, so replicas need
+    not run Spark at all."""
+    from ..functions import text as TX
+
+    rendered = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(TX.string_poly_hash(rendered)).cast("bigint").alias("checksum"),
+        )
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    version_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Collapse a versioned history into SCD-type-2 validity intervals:
+    keep only CHANGE rows (attrs differ from the previous version of the
+    same key), then close each interval at the next change's version.
+
+    (key, attrs, valid_from, valid_to) with valid_to NULL on the open
+    (current) interval.  One window shuffle on the key; lag/lead share
+    it.  The dimension-table pattern every warehouse load runs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(version_col)
+    sig = content_signature(*attr_cols)
+    changed = (
+        df.withColumn("__sig", sig)
+        .withColumn("__prev", F.lag("__sig").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__sig") != F.col("__prev")))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(version_col)
+    return (
+        changed.withColumn("valid_from", F.col(version_col))
+        .withColumn("valid_to", F.lead(version_col).over(w2))
+        .select(key_col, *attr_cols, "valid_from", "valid_to")
+    )

@@ -103,3 +103,31 @@ def range_join_temporal(
         .filter((F.col("__epoch") >= F.col(start_col)) & (F.col("__epoch") < F.col(end_col)))
         .drop("__bucket", "__epoch")
     )
+
+
+def moving_agg(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_c_col: str,
+    n: int = 7,
+) -> DataFrame:
+    """Trailing n-row moving sum/count over an EXACT integer measure
+    column (``value_c_col`` — the caller pre-scales floats into bigint
+    units, e.g. cents, so the windowed sum is order-independent and
+    engine-exact; the float average is derived by ONE division at the
+    end, never accumulated).
+
+    One window shuffle on ``part_col``; the frame is ROWS BETWEEN n-1
+    PRECEDING AND CURRENT ROW — bounded state per row, the 100 TB shape
+    (a RANGE frame over a skewed key would be the trap)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), 0)
+    )
+    return df.withColumn("mov_sum_c", F.sum(value_c_col).over(w).cast("bigint")).withColumn(
+        "mov_n", F.count("*").over(w).cast("bigint")
+    )

@@ -393,3 +393,126 @@ def kmeans_fit(
         new = {r["cluster"]: [r[f"s{j}"] / r["n"] for j in range(dim)] for r in sums}
         centroids = [new.get(i, centroids[i]) for i in range(k)]
     return centroids
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ) — the compressed-domain ANN used by
+# billion-vector indexes (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011; the FAISS IVFPQ architecture).  Targets are
+# encoded once into m sub-codes (here m=8 over a 64-dim vector, ksub codes
+# per subspace); probes score candidates through an asymmetric-distance
+# (ADC) lookup table — the probe stays exact, only the target is quantized.
+# Candidates come from the SAME coarse IVF cells as ivf_topk, so the join
+# is a small-int equi-join, never all-pairs.  Every arithmetic step (the
+# codebook, the encode argmin, the LUT fold order) is deterministic and
+# mirrored in the DuckDB twin.
+# ---------------------------------------------------------------------------
+
+
+def _pq_centroid(sub: int, code: int, dsub: int) -> list[float]:
+    """Deterministic PQ codebook entry (subspace ``sub``, code ``code``):
+    c_j = (((sub*53 + code*31 + j*29) % 17) - 8) / 8.0 — dyadic rationals,
+    exactly representable, reproducible in ANSI SQL."""
+    return [(((sub * 53 + code * 31 + j * 29) % 17) - 8) / 8.0 for j in range(dsub)]
+
+
+def _pq_sub_dot(vec: Column, sub: int, code: int, dsub: int) -> Column:
+    """dot(vec[sub-slice], codebook[sub][code]) — JVM fold, left-assoc,
+    same evaluation order as the SQL twin's list_reduce."""
+    cent = _pq_centroid(sub, code, dsub)
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, sub * dsub + 1, dsub),
+            F.array(*[F.lit(c) for c in cent]),
+            lambda x, c: x.cast("double") * c,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(df: DataFrame, vec_col: str, dim: int = 64, m: int = 8, ksub: int = 8) -> DataFrame:
+    """Attach ``code0..code{m-1}``: per subspace, the argmin-||x_s - c||²
+    codebook entry (ties → lowest code, via an explicit least/CASE chain —
+    no sort ambiguity).  ||x_s||² is constant across codes so the argmin
+    objective is c2 - 2·dot (c2 = ||c||², a Python-computed exact dyadic
+    literal).  Linear withColumn chain keeps the expression tree from
+    exploding (same driver-normalization concern as with_ivf_cells)."""
+    dsub = dim // m
+    for s in range(m):
+        score_names = []
+        for c in range(ksub):
+            c2 = sum(v * v for v in _pq_centroid(s, c, dsub))
+            nm = f"__pq_s{s}_{c}"
+            df = df.withColumn(
+                nm, F.lit(float(c2)) - F.lit(2.0) * _pq_sub_dot(F.col(vec_col), s, c, dsub)
+            )
+            score_names.append(nm)
+        mcol = F.least(*[F.col(n) for n in score_names])
+        code = F.lit(ksub - 1)
+        for c in range(ksub - 1, -1, -1):
+            code = F.when(F.col(score_names[c]) == mcol, F.lit(c)).otherwise(code)
+        df = df.withColumn(f"code{s}", code).drop(*score_names)
+    return df
+
+
+def pq_topk(
+    probes: DataFrame,
+    targets: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 8,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    probe_id: str = "probe_id",
+    target_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k by asymmetric-distance (ADC) dot product.
+
+    Targets: coarse IVF cell (nearest of ``n_cells`` centroids) + ``m``
+    PQ codes — the 100 TB posture is that this m-byte code IS the stored
+    index (8 bytes vs 256 for float32×64).  Probes: ``nprobe`` coarse
+    cells + a 64-entry LUT array lut[s*ksub+c] = dot(p_s, codebook[s][c])
+    computed ONCE per probe.  The cell equi-join yields candidates; the
+    ADC score folds m element_at lookups left-associatively (the SQL twin
+    mirrors the same chain).  Rank by round(adc, 6) desc, id asc."""
+    dsub = dim // m
+    t = with_ivf_cells(
+        targets.select(F.col(target_id), F.col(vec_col).alias("t_vec")),
+        "t_vec", dim, n_cells, nprobe=1,
+    ).withColumn("cell", F.element_at("cells", 1)).drop("cells")
+    t = pq_encode(t, "t_vec", dim, m, ksub).drop("t_vec")
+
+    p = with_ivf_cells(
+        probes.select(F.col(probe_id), F.col(vec_col).alias("p_vec")),
+        "p_vec", dim, n_cells, nprobe=nprobe,
+    )
+    lut_names = []
+    for s in range(m):
+        for c in range(ksub):
+            nm = f"__lut_{s}_{c}"
+            p = p.withColumn(nm, _pq_sub_dot(F.col("p_vec"), s, c, dsub))
+            lut_names.append(nm)
+    p = (
+        p.withColumn("lut", F.array(*[F.col(n) for n in lut_names]))
+        .drop(*lut_names, "p_vec")
+        .withColumn("cell", F.explode("cells"))
+        .drop("cells")
+    )
+
+    j = p.join(t, "cell").filter(F.col(probe_id) != F.col(target_id)).dropDuplicates(
+        [probe_id, target_id]
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at("lut", F.lit(s * ksub + 1) + F.col(f"code{s}"))
+        adc = term if adc is None else adc + term
+    j = j.withColumn("adc_dot", F.round(adc, 6))
+    w = Window.partitionBy(probe_id).orderBy(F.desc("adc_dot"), F.asc(target_id))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, target_id, "adc_dot", "rank")
+    )

@@ -87,3 +87,69 @@ def exact_quantiles(
         .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("bigint"))
         .select(group_col, "p", F.col(value_col).alias("q"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# with d×w integer counters.  Deterministic row hashes (affine maps over
+# the engine-wide 2^31-1 field) make every counter, and therefore every
+# estimate, oracle-reproducible — unlike opaque library sketches.
+#
+# 100 TB posture: the BUILD is a map-side-combined groupBy over (row,
+# bucket) — the shuffled state is at most d·w counters per partition
+# regardless of input size, and sketches merge by counter addition.  The
+# ESTIMATE for a batch of items is an equi-join against the d·w-row
+# sketch (broadcast — it is tiny by construction) + a min over the d rows.
+# CMS never underestimates: est >= true count, with overestimate bounded
+# by (N/w) per row whp.
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket(key_hash: Column, row: int, w: int) -> Column:
+    """Bucket of pre-hashed key in sketch row ``row``: an affine map over
+    the 2^31-1 field then mod w (distinct odd multipliers per row)."""
+    a = 2 * row + 31
+    b = row * 97 + 7
+    return F.pmod(key_hash * F.lit(a) + F.lit(b), F.lit(HASH_MOD)) % F.lit(w)
+
+
+def count_min_build(
+    df: DataFrame, key_hash_col: str, w: int = 256, d: int = 3
+) -> DataFrame:
+    """Build the d×w sketch: (row, bucket, cnt) — one groupBy, counters
+    combine map-side."""
+    rows = None
+    for r in range(d):
+        part = df.select(
+            F.lit(r).alias("cms_row"),
+            cms_bucket(F.col(key_hash_col), r, w).alias("cms_bucket"),
+        )
+        rows = part if rows is None else rows.union(part)
+    return rows.groupBy("cms_row", "cms_bucket").agg(F.count("*").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame, items: DataFrame, key_hash_col: str, w: int = 256, d: int = 3
+) -> DataFrame:
+    """Point-query the sketch for each item: explode the d (row, bucket)
+    probes, broadcast-join the sketch, min over rows.  Missing buckets
+    count 0 (never happens for items that were inserted)."""
+    probes = items.withColumn(
+        "cms_probe",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("cms_row"),
+                        cms_bucket(F.col(key_hash_col), r, w).alias("cms_bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ),
+    ).select(*items.columns, "cms_probe.cms_row", "cms_probe.cms_bucket")
+    joined = probes.join(F.broadcast(sketch), ["cms_row", "cms_bucket"], "left")
+    return (
+        joined.groupBy(*items.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

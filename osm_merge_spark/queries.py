@@ -4458,3 +4458,1034 @@ def q_audio_windows(spark, sf_dir):
     return M.audio_windows(_audio_media(spark, sf_dir), win=32).orderBy(
         "doc_id", "win_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+# operators/curation.weighted_sample_topk): per-priority top-5 orders by
+# totalprice-weighted coin — the corpus-mixing "sample 5 per domain
+# proportional to quality" primitive.  Log-domain ES key; the oracle flips
+# the identical portable-hash coins.
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_SAMPLE_SQL = f"""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS w,
+             round(CAST({_POLY_SQL.format(s="CAST(o_orderkey AS VARCHAR)")}
+                        * 48271 % 2147483647 * 48271 % 2147483647
+                        % 1000000 + 1 AS DOUBLE) / 1000000, 6) AS u
+      FROM orders WHERE o_totalprice > 0
+    ),
+    k AS (
+      SELECT o_orderpriority, o_orderkey, u,
+             round(ln(u) / w, 12) AS es_key
+      FROM c
+    )
+    SELECT o_orderpriority, o_orderkey, u, es_key, CAST(rn AS INTEGER) AS es_rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderpriority ORDER BY es_key DESC, o_orderkey) AS rn
+      FROM k
+    ) WHERE rn <= 5 ORDER BY o_orderpriority, es_rank
+"""
+
+
+@register("q_weighted_sample", _WEIGHTED_SAMPLE_SQL)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement: 5 orders per
+    priority class, inclusion probability ∝ o_totalprice, coins from the
+    portable poly-hash of the order key (never rand()).  One window
+    shuffle on the group key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        CU.weighted_sample_topk(
+            o, "o_totalprice", k=5, key_col="o_orderkey", group_col="o_orderpriority"
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "u",
+            "es_key",
+            F.col("es_rank").cast("int").alias("es_rank"),
+        )
+        .orderBy("o_orderpriority", "es_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank (operators/graph.py) over the customer↔supplier
+# trade graph (lineitem⋈orders edges, symmetrized).  Ranks are EXACT bigint
+# fixed-point — integer transfer arithmetic makes the shuffle-summed result
+# order-independent, so the oracle (unrolled CTE iterations) matches
+# bit-for-bit where a float PageRank could not.
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    scale = 10**12
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )""",
+        "e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank_fp FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""i{i} AS (
+      SELECT e.dst AS node, sum(r{i - 1}.rank_fp // od.outdeg) AS inflow
+      FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node JOIN od ON e.src = od.src
+      GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+      SELECT nodes.node,
+             CAST((15 * {scale}) // (100 * n) + (85 * coalesce(inflow, 0)) // 100 AS BIGINT) AS rank_fp
+      FROM nodes CROSS JOIN nn LEFT JOIN i{i} ON nodes.node = i{i}.node
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, rank_fp,
+           round(CAST(rank_fp AS DOUBLE) / {scale}, 12) AS rank
+    FROM r{iters} ORDER BY node
+    """
+    )
+
+
+@register("q_pagerank", _pagerank_sql())
+def q_pagerank(spark, sf_dir):
+    """3-iteration PageRank (damping 85/100) over the symmetrized
+    customer↔supplier trade graph: each round is one join + one
+    map-side-combined groupBy sum on the node key; rank mass moves in
+    exact 1e-12 fixed-point units so the result is bitwise stable under
+    any shuffle schedule."""
+    from .operators import graph as GR
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    return GR.pagerank(edges, iters=3).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (operators/similarity.pq_topk): product-quantized codes +
+# asymmetric-distance (ADC) scoring inside IVF cells — the billion-vector
+# compressed index (Jégou et al. 2011 / FAISS IVFPQ).  The twin re-derives
+# the codebook, the encode argmin, and the left-assoc ADC fold.
+# ---------------------------------------------------------------------------
+
+
+def _pq_sql(dim: int = 64, m: int = 8, ksub: int = 8, n_cells: int = 8, k: int = 3) -> str:
+    dsub = dim // m
+    NEG = "CAST('-infinity' AS DOUBLE)"
+
+    def coarse_d(t: int) -> str:
+        coef = f"CAST((((({t} * 53 + (i - 1) * 29) % 17) - 8) / 8.0) AS DOUBLE)"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * {coef})), (a, b) -> a + b) AS d{t}"
+        )
+
+    def sub_dot(s: int, c: int) -> str:
+        coef = f"CAST(((({s} * 53 + {c} * 31 + (i - 1) * 29) % 17) - 8) / 8.0 AS DOUBLE)"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(embedding[{s * dsub + 1}:{(s + 1) * dsub}], "
+            f"(x, i) -> CAST(x AS DOUBLE) * {coef})), (a, b) -> a + b)"
+        )
+
+    from .operators.similarity import _pq_centroid
+
+    d_cols = ", ".join(coarse_d(t) for t in range(n_cells))
+    all_d = ", ".join(f"d{t}" for t in range(n_cells))
+    cell1 = "CASE " + " ".join(f"WHEN d{t} = m1 THEN {t}" for t in range(n_cells)) + " END"
+    masked = lambda t: f"(CASE WHEN {t} = cell1 THEN {NEG} ELSE d{t} END)"  # noqa: E731
+    m2 = "greatest(" + ", ".join(masked(t) for t in range(n_cells)) + ")"
+    cell2 = "CASE " + " ".join(f"WHEN {masked(t)} = m2 THEN {t}" for t in range(n_cells)) + " END"
+
+    enc_scores = ", ".join(
+        f"{repr(sum(v * v for v in _pq_centroid(s, c, dsub)))} - 2.0 * ({sub_dot(s, c)}) AS ps_{s}_{c}"
+        for s in range(m)
+        for c in range(ksub)
+    )
+    enc_mins = ", ".join(
+        "least(" + ", ".join(f"ps_{s}_{c}" for c in range(ksub)) + f") AS pm_{s}"
+        for s in range(m)
+    )
+    enc_codes = ", ".join(
+        "CASE "
+        + " ".join(f"WHEN ps_{s}_{c} = pm_{s} THEN {c}" for c in range(ksub - 1))
+        + f" ELSE {ksub - 1} END AS code{s}"
+        for s in range(m)
+    )
+    lut_cols = ", ".join(
+        f"{sub_dot(s, c)} AS lp_{s}_{c}" for s in range(m) for c in range(ksub)
+    )
+    adc = " + ".join(
+        "(CASE "
+        + " ".join(f"WHEN code{s} = {c} THEN lp_{s}_{c}" for c in range(ksub))
+        + " END)"
+        for s in range(m)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {d_cols} FROM embeddings
+    ), c1 AS (
+      SELECT *, greatest({all_d}) AS m1 FROM base
+    ), cc AS (
+      SELECT *, {cell1} AS cell1 FROM c1
+    ), tenc0 AS (
+      SELECT vec_id, cell1 AS cell, {enc_scores} FROM cc
+    ), tenc1 AS (
+      SELECT *, {enc_mins} FROM tenc0
+    ), tgt AS (
+      SELECT vec_id, cell, {enc_codes} FROM tenc1
+    ), prb0 AS (
+      SELECT vec_id AS probe_id, cell1, {m2} AS m2, {all_d}, {lut_cols}
+      FROM cc WHERE vec_id < 50
+    ), prb AS (
+      SELECT * EXCLUDE (cell1, m2, {all_d}),
+             unnest([cell1, {cell2}]) AS cell
+      FROM prb0
+    ), pairs AS (
+      SELECT DISTINCT prb.* EXCLUDE (cell), t.vec_id, t.* EXCLUDE (vec_id, cell)
+      FROM prb JOIN tgt t USING (cell)
+      WHERE probe_id <> t.vec_id
+    ), scored AS (
+      SELECT probe_id, vec_id, round({adc}, 6) AS adc_dot FROM pairs
+    )
+    SELECT probe_id, vec_id, adc_dot, rank FROM (
+      SELECT probe_id, vec_id, adc_dot,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adc_dot DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY probe_id, rank
+    """
+
+
+@register("q_pq_topk", _pq_sql())
+def q_pq_topk(spark, sf_dir):
+    """IVF-PQ top-k: targets carry 8 one-byte PQ codes + a coarse cell;
+    probes carry a 64-entry ADC lookup table; candidates are the nprobe=2
+    cell equi-join; the score is the left-assoc sum of 8 LUT lookups —
+    the compressed-domain architecture of billion-vector indexes, every
+    float mirrored in the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return S.pq_topk(probes, emb, dim=64, m=8, ksub=8, k=3, n_cells=8, nprobe=2).orderBy(
+        "probe_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (operators/sketch.py): d×w integer
+# counters, deterministic affine row hashes — estimate >= truth always,
+# and the oracle rebuilds every counter.
+# ---------------------------------------------------------------------------
+
+_CMS_W, _CMS_D = 256, 3
+
+
+def _cms_sql(w: int = _CMS_W, d: int = _CMS_D) -> str:
+    kh = "((l_partkey * 2654435761) % 2147483647)"
+    probe_rows = " UNION ALL ".join(
+        f"SELECT l_partkey, {r} AS cms_row, (({kh} * {2 * r + 31} + {r * 97 + 7}) % 2147483647) % {w} AS cms_bucket FROM li"
+        for r in range(d)
+    )
+    return f"""
+    WITH li AS (SELECT l_partkey FROM lineitem),
+    ins AS ({probe_rows}),
+    sk AS (SELECT cms_row, cms_bucket, count(*) AS cnt
+           FROM (SELECT * FROM ins) GROUP BY cms_row, cms_bucket),
+    truth AS (SELECT l_partkey, count(*) AS true_cnt FROM li GROUP BY l_partkey),
+    items AS (SELECT DISTINCT l_partkey, cms_row, cms_bucket FROM ins),
+    est AS (
+      SELECT items.l_partkey, min(coalesce(sk.cnt, 0)) AS cms_est
+      FROM items LEFT JOIN sk USING (cms_row, cms_bucket)
+      GROUP BY items.l_partkey
+    )
+    SELECT t.l_partkey, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est
+    FROM truth t JOIN est e USING (l_partkey)
+    WHERE t.true_cnt >= 40
+    ORDER BY t.l_partkey
+    """
+
+
+@register("q_cms_heavy", _cms_sql())
+def q_cms_heavy(spark, sf_dir):
+    """Count-min heavy hitters over l_partkey: build the 3×256 sketch
+    (map-side-combined counters), point-query every inserted key, report
+    keys whose TRUE count >= 40 with their CMS estimate alongside —
+    est >= truth by construction, both bigint-exact."""
+    from .operators import sketch as SK
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    hashed = li.withColumn("kh", SK.kmv_hash(F.col("l_partkey")))
+    sk = SK.count_min_build(hashed, "kh", w=_CMS_W, d=_CMS_D)
+    items = hashed.select("l_partkey", "kh").distinct()
+    est = SK.count_min_estimate(sk, items, "kh", w=_CMS_W, d=_CMS_D).drop("kh")
+    truth = li.groupBy("l_partkey").agg(F.count("*").alias("true_cnt"))
+    return (
+        truth.filter(F.col("true_cnt") >= 40)
+        .join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (operators/funnel.py): view → click → purchase over the
+# events table, strict timestamp progression, first-touch per step.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    s1 AS (SELECT user_id, min(ts_s) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT ev.user_id, min(ts_s) AS t2
+      FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      WHERE event_type = 'click' AND ts_s > t1 GROUP BY ev.user_id
+    ),
+    s3 AS (
+      SELECT ev.user_id, min(ts_s) AS t3
+      FROM ev JOIN s2 ON ev.user_id = s2.user_id
+      WHERE event_type = 'purchase' AND ts_s > t2 GROUP BY ev.user_id
+    )
+    SELECT s1.user_id, t1, t2, t3,
+           CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS INTEGER) AS steps_completed
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ORDER BY s1.user_id
+"""
+
+
+@register("q_funnel", _FUNNEL_SQL)
+def q_funnel(spark, sf_dir):
+    """view→click→purchase funnel per user: each step one map-side
+    min-aggregate keyed on user_id (state = one timestamp per step, never
+    a full-history window)."""
+    from .operators import funnel as FU
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        FU.funnel(ev, ["view", "click", "purchase"])
+        .select("user_id", "t1", "t2", "t3", "steps_completed")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/graph.triangles): degree-ordered wedge
+# closure over a deterministic chord graph on the order keys.
+# ---------------------------------------------------------------------------
+
+_TRI_EDGE_SQL = """
+      SELECT DISTINCT least(o_orderkey % 97, (o_orderkey * 31 + o_custkey) % 97) AS a,
+                      greatest(o_orderkey % 97, (o_orderkey * 31 + o_custkey) % 97) AS b
+      FROM orders
+      WHERE o_orderkey % 97 <> (o_orderkey * 31 + o_custkey) % 97
+"""
+
+_TRIANGLES_SQL = f"""
+    WITH e AS ({_TRI_EDGE_SQL}),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v
+      FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+    ),
+    tri AS (
+      SELECT o1.u AS x, o1.v AS y, o2.v AS z
+      FROM o o1 JOIN o o2 ON o1.v = o2.u
+      JOIN o oc ON oc.u = o1.u AND oc.v = o2.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    ) GROUP BY node ORDER BY node
+"""
+
+
+@register("q_triangles", _TRIANGLES_SQL)
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts on the deterministic 97-node chord graph
+    derived from order keys: degree-ordered orientation (the
+    curse-of-the-last-reducer fix) then wedge join + closure join."""
+    from .operators import graph as GR
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 97).alias("p"),
+        ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 97).alias("q"),
+    ).filter(F.col("p") != F.col("q")).select(
+        F.col("p").alias("src"), F.col("q").alias("dst")
+    )
+    return GR.triangles(edges).withColumn(
+        "n_tri", F.col("n_tri").cast("bigint")
+    ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Star-schema rollup with broadcast dims — the canonical OLAP shape
+# (TPC-H Q5 family): fact lineitem → orders → customer, customer's nation
+# and region as BROADCAST dims (pinned elsewhere by test_plan_quality-style
+# checks; dims are thousands of rows — never shuffle the fact side for
+# them).  Revenue is summed in EXACT bigint hundredths-of-cents so the
+# shuffle-order float nondeterminism can never touch the artifact.
+# ---------------------------------------------------------------------------
+
+_STAR_REVENUE_SQL = """
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+             AS revenue_c4
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+"""
+
+
+@register("q_star_revenue", _STAR_REVENUE_SQL)
+def q_star_revenue(spark, sf_dir):
+    """Revenue by region/nation over the star schema: the fact table
+    shuffles once on the join keys, nation+region ride as broadcast
+    literals, and the measure is per-row rounded into bigint 1e-4 units
+    before the (order-independent) integer sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(cents).cast("bigint").alias("revenue_c4"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + BPE merge-pair counting (operators/index.py)
+# ---------------------------------------------------------------------------
+
+_INVERTED_INDEX_SQL = f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS_SQL.format(t="text")}) AS token
+      FROM documents
+    ),
+    counted AS (
+      SELECT token, count(*) AS df FROM pairs GROUP BY token
+    )
+    SELECT token, CAST(df AS BIGINT) AS df,
+           array_to_string(postings, ',') AS postings
+    FROM (
+      SELECT p.token, c.df, list_sort(list(p.doc_id)) AS postings
+      FROM pairs p JOIN counted c USING (token)
+      WHERE c.df BETWEEN 3 AND 400
+      GROUP BY p.token, c.df
+    ) ORDER BY token
+"""
+
+
+@register("q_inverted_index", _INVERTED_INDEX_SQL)
+def q_inverted_index(spark, sf_dir):
+    """Posting-list build over the documents table (tokens with document
+    frequency in [3, 400] — the stopword/hapax band-pass that keeps any
+    single list bounded): sorted postings + df, deterministic list order
+    via sort_array."""
+    from .operators import index as IX
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        IX.inverted_index(d, min_df=3, max_df=400)
+        .withColumn("postings", F.array_join("postings", ","))
+        .orderBy("token")
+    )
+
+
+_MERGE_PAIRS_SQL = f"""
+    WITH t AS (
+      SELECT {_TOKS_SQL.format(t="text")} AS toks FROM documents
+    ),
+    p AS (
+      SELECT unnest(
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(
+                           list_zip(toks[1:len(toks) - 1], toks[2:len(toks)]),
+                           s -> s[1] || ' ' || s[2])
+                    ELSE CAST([] AS VARCHAR[]) END) AS pair
+      FROM t
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+
+@register("q_bpe_merge_pairs", _MERGE_PAIRS_SQL)
+def q_bpe_merge_pairs(spark, sf_dir):
+    """One BPE merge round's counting pass: top-20 adjacent token pairs
+    corpus-wide — zip-shifted arrays explode map-side, one combined count,
+    TakeOrderedAndProject top-k (no global sort)."""
+    from .operators import index as IX
+
+    d = _t(spark, sf_dir, "documents")
+    return IX.merge_pair_counts(d, top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# Exact per-label centroids in the quantized domain: int8 codes sum as
+# bigints (order-independent — a float centroid build would be shuffle-
+# nondeterministic), count alongside; the float centroid is recovered
+# downstream as csum/n at display precision.
+# ---------------------------------------------------------------------------
+
+_SQ8_CENTROID_SQL = f"""
+    WITH codes AS ({_SQ8_Q_SQL.replace("embeddings", "embeddings")}),
+    lab AS (
+      SELECT e.label, c.q FROM embeddings e JOIN codes c USING (vec_id)
+    ),
+    x AS (
+      SELECT label, generate_subscripts(q, 1) AS pos, unnest(q) AS qv
+      FROM lab
+    ),
+    s AS (
+      SELECT label, pos, sum(qv) AS s FROM x GROUP BY label, pos
+    )
+    SELECT label, CAST(n AS BIGINT) AS n,
+           array_to_string(csum, ',') AS csum
+    FROM (
+      SELECT s.label, list(s.s ORDER BY s.pos) AS csum, max(cnt.n) AS n
+      FROM s JOIN (SELECT label, count(*) AS n FROM lab GROUP BY label) cnt
+        USING (label)
+      GROUP BY s.label
+    ) ORDER BY label
+"""
+
+
+@register("q_sq8_centroids", _SQ8_CENTROID_SQL)
+def q_sq8_centroids(spark, sf_dir):
+    """Per-label centroid accumulators over int8-quantized embeddings:
+    posexplode → (label, pos) bigint sums → re-assembled ordered array.
+    Everything integer, so the grouped sums are bitwise stable under any
+    partitioning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = emb.select("vec_id", "label", S.sq8_codes(F.col("embedding")).alias("q"))
+    x = coded.select("label", F.posexplode("q").alias("pos", "qv"))
+    s = x.groupBy("label", "pos").agg(F.sum("qv").alias("s"))
+    n = coded.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    asm = (
+        s.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
+            ).alias("csum")
+        )
+    )
+    return (
+        n.join(asm, "label")
+        .select("label", "n", F.array_join("csum", ",").alias("csum"))
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index audience intersection (operators/bitmap.py): per-(event_type,
+# 32-user block) words built with bit_or partial agg; pair cardinalities =
+# block AND + popcount.  The oracle computes the same answer by the NAIVE
+# algorithm (distinct member intersection) — a cross-ALGORITHM check, not
+# just cross-engine.
+# ---------------------------------------------------------------------------
+
+_BITMAP_SQL = """
+    WITH m AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS key_a, b.event_type AS key_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q_bitmap_intersect", _BITMAP_SQL)
+def q_bitmap_intersect(spark, sf_dir):
+    """Audience overlap between every event-type pair via the segment
+    bitmap index: |keys|·|blocks| words cross the wire, never member
+    rows."""
+    from .operators import bitmap as BM
+
+    ev = _t(spark, sf_dir, "events")
+    idx = BM.bitmap_build(ev, "event_type", "user_id")
+    return BM.bitmap_pair_counts(idx).orderBy("key_a", "key_b")
+
+
+# ---------------------------------------------------------------------------
+# Trailing moving aggregate in exact integer units (operators/rollup.
+# moving_agg): 7-event trailing spend per user.
+# ---------------------------------------------------------------------------
+
+_MOVING_AVG_SQL = """
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events
+    )
+    SELECT user_id, event_id, ts_s,
+           CAST(sum(value_c) OVER w AS BIGINT) AS mov_sum_c,
+           CAST(count(*) OVER w AS BIGINT) AS mov_n,
+           round(CAST(sum(value_c) OVER w AS DOUBLE)
+                 / (100.0 * count(*) OVER w), 6) AS mov_avg
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts_s, event_id
+"""
+
+
+@register("q_moving_avg", _MOVING_AVG_SQL)
+def q_moving_avg(spark, sf_dir):
+    """7-event trailing average spend per user: the measure is bigint
+    cents inside the window (order-independent exact sum), ONE double
+    division at the end."""
+    from .operators import rollup as RU
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    out = RU.moving_agg(ev, "user_id", ["ts_s", "event_id"], "value_c", n=7)
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        "mov_sum_c",
+        "mov_n",
+        F.round(F.col("mov_sum_c").cast("double") / (F.lit(100.0) * F.col("mov_n")), 6).alias(
+            "mov_avg"
+        ),
+    ).orderBy("user_id", "ts_s", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (operators/funnel.sessionize_batch): 6-hour gap rule,
+# the batch twin of the streaming stateful sessionizer.
+# ---------------------------------------------------------------------------
+
+_SESSIONS_BATCH_SQL = """
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_s,
+             CASE WHEN lag(ts_s) OVER w IS NULL
+                       OR ts_s - lag(ts_s) OVER w > 21600 THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_s,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           min(ts_s) AS start_s, max(ts_s) AS end_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+"""
+
+
+@register("q_sessions_batch", _SESSIONS_BATCH_SQL)
+def q_sessions_batch(spark, sf_dir):
+    """Gap-based sessions (gap > 6 h starts a new one): lag-flag-cumsum
+    sharing one user_id window shuffle, rolled up to per-session spans."""
+    from .operators import funnel as FU
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        FU.sessionize_batch(ev, gap_s=21600)
+        .withColumn("session_idx", F.col("session_idx").cast("bigint"))
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy table checksum (operators/diff.table_checksum): replica
+# comparison at the cost of |groups| rows.
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_SQL = f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({_POLY_SQL.format(
+               s="CAST(o_orderkey AS VARCHAR) || chr(31) || o_orderstatus || chr(31) || CAST(o_custkey AS VARCHAR)")})
+                AS BIGINT) AS checksum
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("q_table_checksum", _CHECKSUM_SQL)
+def q_table_checksum(spark, sf_dir):
+    """Replica-comparison checksums per priority group: bigint sum of
+    portable row hashes — order-independent, re-derivable by any ANSI
+    engine holding the other replica."""
+    from .operators import diff as DF
+
+    o = _t(spark, sf_dir, "orders")
+    return DF.table_checksum(
+        o, ["o_orderkey", "o_orderstatus", "o_custkey"], "o_orderpriority"
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 dimension build (operators/diff.scd2_intervals) over a deterministic
+# 3-version synthetic history.  The oracle detects changes by DIRECT value
+# comparison where the engine compares md5 signatures — cross-algorithm.
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+    WITH hist AS (
+      SELECT o_orderkey, v.v AS version,
+             CASE WHEN v.v = 1 THEN o_orderstatus
+                  WHEN v.v = 2 AND o_orderkey % 3 = 0 THEN 'X'
+                  WHEN v.v = 3 AND o_orderkey % 4 = 0 THEN 'Y'
+                  WHEN v.v = 3 AND o_orderkey % 3 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS status
+      FROM orders CROSS JOIN (VALUES (1), (2), (3)) v(v)
+    ),
+    changed AS (
+      SELECT * FROM (
+        SELECT o_orderkey, version, status,
+               lag(status) OVER (PARTITION BY o_orderkey ORDER BY version) AS prev
+        FROM hist
+      ) WHERE prev IS NULL OR status <> prev
+    )
+    SELECT o_orderkey, status,
+           version AS valid_from,
+           lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to
+    FROM changed ORDER BY o_orderkey, valid_from
+"""
+
+
+@register("q_scd2", _SCD2_SQL)
+def q_scd2(spark, sf_dir):
+    """SCD-type-2 intervals from a versioned history: change rows only
+    (lag signature comparison), closed by lead() — one key-window shuffle
+    shared by both."""
+    from .operators import diff as DF
+
+    o = _t(spark, sf_dir, "orders")
+    hist = o.select(
+        "o_orderkey",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("version"),
+        "o_orderstatus",
+    ).select(
+        "o_orderkey",
+        "version",
+        F.when(F.col("version") == 1, F.col("o_orderstatus"))
+        .when((F.col("version") == 2) & (F.col("o_orderkey") % 3 == 0), F.lit("X"))
+        .when((F.col("version") == 3) & (F.col("o_orderkey") % 4 == 0), F.lit("Y"))
+        .when((F.col("version") == 3) & (F.col("o_orderkey") % 3 == 0), F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    return DF.scd2_intervals(hist, "o_orderkey", "version", ["status"]).orderBy(
+        "o_orderkey", "valid_from"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts — the product-analytics matrix: users grouped by first-
+# seen week, distinct-active counts per week offset.
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+    WITH wk AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+      FROM events
+    ),
+    uw AS (SELECT DISTINCT user_id, week FROM wk),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+    SELECT c.cohort_week,
+           CAST(u.week - c.cohort_week AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+    FROM uw u JOIN cohort c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q_retention_cohorts", _RETENTION_SQL)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention matrix: cohort = each user's first active week;
+    cells = distinct users active at each week offset.  Two
+    map-side-combined aggregates + one broadcast-sized cohort join."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 604800").alias("week"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs — near-dup / related-document retrieval over
+# the inverted index, sharing only RARE tokens (df band-pass bounds the
+# join).  Weights are INTEGER (tf · round(ln(N/df)·1000)) so every grouped
+# sum is order-independent bigint math; the one float op is the final
+# cos = dot / sqrt(na·nb).
+# ---------------------------------------------------------------------------
+
+_SPARSE_COS_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKS_SQL.format(t="text")}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000) AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n_docs
+      WHERE df BETWEEN 2 AND 50
+    ),
+    nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos_sparse
+    FROM dots JOIN nrm na ON dots.id_a = na.doc_id
+              JOIN nrm nb ON dots.id_b = nb.doc_id
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.1
+    ORDER BY id_a, id_b
+"""
+
+
+@register("q_sparse_cosine", _SPARSE_COS_SQL)
+def q_sparse_cosine(spark, sf_dir):
+    """Sparse cosine similarity through the rare-token join (df in
+    [2, 50] — stopwords never enter the pair space, the same band-pass
+    doctrine as the inverted index): integer tf·idf weights, bigint dots
+    and norms, one final double divide."""
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(dfreq, "token")
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n").cast("double") / F.col("df")) * 1000).cast(
+                    "bigint"
+                )
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("id_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "token", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na2").cast("double") * F.col("nb2").cast("double")
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= 0.1)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sparse"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP grouping sets — the OLAP subtotal lattice (priority × status with
+# per-priority and grand totals), grouping_id disambiguating the levels.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+    SELECT coalesce(o_orderpriority, '(all)') AS prio,
+           coalesce(o_orderstatus, '(all)') AS status,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY gid, prio, status
+"""
+
+
+@register("q_rollup_sets", _ROLLUP_SQL)
+def q_rollup_sets(spark, sf_dir):
+    """Subtotal lattice via ROLLUP(priority, status): detail rows,
+    per-priority subtotals, and the grand total in one pass — Spark
+    expands the grouping sets map-side, so it is still one shuffle.
+    Measures in exact bigint cents."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("total_c"),
+            (F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus"))
+            .cast("bigint")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("prio"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "gid",
+            "n",
+            "total_c",
+        )
+        .orderBy("gid", "prio", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — status classes widened into columns (explicit value list so the
+# plan needs no discovery pass).
+# ---------------------------------------------------------------------------
+
+_PIVOT_SQL = """
+    SELECT o_orderpriority AS prio,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority ORDER BY prio
+"""
+
+
+@register("q_pivot_status", _PIVOT_SQL)
+def q_pivot_status(spark, sf_dir):
+    """Order counts per priority pivoted by status: the explicit value
+    list keeps pivot a single-pass conditional aggregation (no extra
+    distinct-discovery job)."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy(F.col("o_orderpriority").alias("prio"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "prio",
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_p"),
+    ).orderBy("prio")
+
+
+# ---------------------------------------------------------------------------
+# Latest-row-per-key by struct-max aggregation — dedup-to-current-version
+# as ONE map-side-combinable agg (no window sort).  The oracle derives the
+# same row by window rank — cross-algorithm equivalence on the unique
+# (o_orderdate, o_orderkey) order.
+# ---------------------------------------------------------------------------
+
+_LATEST_SQL = """
+    SELECT o_custkey, o_orderkey AS latest_key,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS latest_date_s,
+           o_orderstatus AS latest_status
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+@register("q_latest_by", _LATEST_SQL)
+def q_latest_by(spark, sf_dir):
+    """Each customer's most recent order via max(struct(date, key,
+    status)) — partial-aggregates combine map-side, so the dedup costs
+    one narrow shuffle instead of a per-key window sort; ties are
+    impossible because the struct embeds the unique key."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(
+                F.unix_timestamp("o_orderdate").cast("bigint").alias("d"),
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+            )
+        ).alias("m")
+    )
+    return m.select(
+        "o_custkey",
+        F.col("m.k").alias("latest_key"),
+        F.col("m.d").alias("latest_date_s"),
+        F.col("m.s").alias("latest_status"),
+    ).orderBy("o_custkey")
