@@ -1,8 +1,9 @@
 """Bitmap-index segments over integer member ids — the roaring-bitmap
 architecture reduced to its Spark-expressible core.
 
-A segment bitmap index stores, per (key, block), one 64-bit word whose set
-bits mark the members ``block*bits + bit`` belonging to the key.  Set
+A segment bitmap index stores, per (key, block), one word (``BITS`` low
+bits of a bigint) whose set bits mark the members ``block*bits + bit``
+belonging to the key.  Set
 algebra (who did A AND B / A OR B / A MINUS B) becomes per-block bitwise
 ops + popcount — no distinct, no row-level set materialization.  This is
 how OLAP engines (Druid, Pinot, ClickHouse's roaring sets) execute
