@@ -5121,15 +5121,18 @@ _SESSIONS_BATCH_SQL = """
       FROM events
     ),
     flagged AS (
-      SELECT user_id, ts_s,
+      SELECT user_id, event_id, ts_s,
              CASE WHEN lag(ts_s) OVER w IS NULL
                        OR ts_s - lag(ts_s) OVER w > 21600 THEN 1 ELSE 0 END AS new_sess
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
     ),
     sess AS (
+      -- cumsum MUST share the lag window's full (ts_s, event_id) order:
+      -- a ts_s-only order would let same-second ties land in different
+      -- sessions than the engine's deterministic tie-break
       SELECT user_id, ts_s,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
       FROM flagged
     )
