@@ -220,9 +220,13 @@ def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
     # the headline phase is allocated from the ONE total bench budget — its
     # own env knob can only shrink the slice, never push the composition
     # past the caller's timeout
+    # 35% cap (was 40%): the end-of-round r5 run fit only 2 replicas=8
+    # sweeps and refused on one noisy balance draw — a clean headline needs
+    # ~600-900 s (3 sweeps), so the freed slice buys the scaling phase a
+    # third sweep where it matters most
     budget_s = min(
-        float(os.environ.get("SPARK_GRAFT_HEAD_BUDGET_S", "1100")),
-        0.4 * TOTAL_BUDGET_S,
+        float(os.environ.get("SPARK_GRAFT_HEAD_BUDGET_S", "1000")),
+        0.35 * TOTAL_BUDGET_S,
     )
     max_sweeps = int(os.environ.get("SPARK_GRAFT_HEAD_MAX_SWEEPS", "6"))
     from osm_merge_spark.queries import REGISTRY
