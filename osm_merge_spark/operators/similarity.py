@@ -178,33 +178,35 @@ def with_ivf_cells(
     out_col: str = "cells",
 ) -> DataFrame:
     """Add an array<int> column of the top-``nprobe`` IVF cell ids.
-    Tie-breaking is pinned (lowest cell id wins at equal dot) via explicit
-    greatest/CASE chains — bit-reproducible in SQL, no sort-order ambiguity,
-    no shuffle.  Each step is its own ``withColumn`` so the expression tree
-    stays LINEAR in nprobe — nesting each cell's argmax inside the next
-    multiplies the dot-fold subtrees 8x per probe level and OOMs the driver
-    during Column normalization at nprobe >= 4."""
-    d_names = [f"__ivf_d{t}" for t in range(n_cells)]
+    Tie-breaking is pinned (lowest cell id wins at equal dot) by an explicit
+    array_sort comparator — bit-reproducible in SQL, no sort-order
+    ambiguity, no shuffle.
+
+    The (dot, cell) pairs live in ONE array expression sorted by a
+    comparator lambda, so each of the ``n_cells`` dot folds appears exactly
+    once in the tree no matter what later projections collapse into it.
+    The previous per-probe-level masked greatest/CASE formulation was
+    linear as written, but cell_p's exclusion mask referenced cell_{p-1}
+    n_cells× — when a downstream explode("cells") made Catalyst collapse
+    the projection chain, the folds compounded ~140× into a 1.7 MB plan
+    whose optimization OOMs a default-1g driver JVM (q_pq_topk, audit
+    2026-08-19); this shape stays ~12 kB through the same explode."""
     dots = centroid_dots(F.col(vec_col), dim, n_cells)
-    for nm, d in zip(d_names, dots):
-        df = df.withColumn(nm, d)
-    c_names = []
-    for p in range(nprobe):
-        masked = []
-        for t in range(n_cells):
-            excl = F.lit(False)
-            for q in c_names:
-                excl = excl | (F.col(q) == t)
-            masked.append(F.when(excl, F.lit(float("-inf"))).otherwise(F.col(d_names[t])))
-        m = F.greatest(*masked)
-        cell = F.lit(n_cells - 1)
-        for t in range(n_cells - 1, -1, -1):
-            cell = F.when(masked[t] == m, F.lit(t)).otherwise(cell)
-        cn = f"__ivf_c{p}"
-        df = df.withColumn(cn, cell)
-        c_names.append(cn)
-    df = df.withColumn(out_col, F.array(*[F.col(c) for c in c_names]))
-    return df.drop(*d_names, *c_names)
+    pairs = F.array(
+        *[F.struct(d.alias("dot"), F.lit(t).alias("cell")) for t, d in enumerate(dots)]
+    )
+    nm = f"__ivf_{out_col}_pairs"
+    ranked = F.array_sort(
+        F.col(nm),
+        lambda l, r: F.when(l["dot"] > r["dot"], F.lit(-1))
+        .when(l["dot"] < r["dot"], F.lit(1))
+        .otherwise(l["cell"] - r["cell"]),
+    )
+    return (
+        df.withColumn(nm, pairs)
+        .withColumn(out_col, F.transform(F.slice(ranked, 1, nprobe), lambda x: x["cell"]))
+        .drop(nm)
+    )
 
 
 def ivf_topk(
@@ -342,18 +344,22 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
 
 def assign_to_centroids(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Attach ``cluster`` = argmin squared distance over the broadcast
-    centroid list (ties → lowest cluster id).  Pure Column expression —
-    the k×dim literals ride the plan, nothing shuffles."""
-    best_d, best_i = None, None
-    for i, c in enumerate(centroids):
-        d = _sq_dist(F.col(vec_col), c)
-        if best_d is None:
-            best_d, best_i = d, F.lit(0)
-        else:
-            cond = d < best_d
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return df.withColumn("cluster", best_i)
+    centroid list (ties → lowest cluster id: array_position returns the
+    FIRST index of the min, matching the previous strict-< running fold).
+    Pure Column expression — the k×dim literals ride the plan, nothing
+    shuffles.  The distances live in ONE array expression (the running
+    when-chain duplicated each distance subtree into every later step —
+    ~650 kB of plan at k=8/dim=64; this shape is ~10× smaller)."""
+    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    nm = "__km_dists"
+    return (
+        df.withColumn(nm, dists)
+        .withColumn(
+            "cluster",
+            (F.array_position(F.col(nm), F.array_min(F.col(nm))) - 1).cast("int"),
+        )
+        .drop(nm)
+    )
 
 
 def kmeans_fit(
@@ -433,26 +439,36 @@ def _pq_sub_dot(vec: Column, sub: int, code: int, dsub: int) -> Column:
 
 def pq_encode(df: DataFrame, vec_col: str, dim: int = 64, m: int = 8, ksub: int = 8) -> DataFrame:
     """Attach ``code0..code{m-1}``: per subspace, the argmin-||x_s - c||²
-    codebook entry (ties → lowest code, via an explicit least/CASE chain —
-    no sort ambiguity).  ||x_s||² is constant across codes so the argmin
+    codebook entry (ties → lowest code: array_position returns the FIRST
+    index of the min).  ||x_s||² is constant across codes so the argmin
     objective is c2 - 2·dot (c2 = ||c||², a Python-computed exact dyadic
-    literal).  Linear withColumn chain keeps the expression tree from
-    exploding (same driver-normalization concern as with_ivf_cells)."""
+    literal).
+
+    The scores live in ONE array expression per subspace and the argmin is
+    array_position(scores, array_min(scores)): projection collapse inlines
+    the score array twice.  The previous least()+CASE-chain formulation
+    inlined each of the ksub fold expressions ~(ksub+1)× — at m=8/ksub=8
+    that was a ~1.8 MB formatted plan whose optimization could OOM a
+    default-1g driver JVM; this shape is ~9× smaller with bit-identical
+    arithmetic (same folds, same tie rule)."""
     dsub = dim // m
     for s in range(m):
-        score_names = []
-        for c in range(ksub):
-            c2 = sum(v * v for v in _pq_centroid(s, c, dsub))
-            nm = f"__pq_s{s}_{c}"
-            df = df.withColumn(
-                nm, F.lit(float(c2)) - F.lit(2.0) * _pq_sub_dot(F.col(vec_col), s, c, dsub)
+        scores = F.array(
+            *[
+                F.lit(float(sum(v * v for v in _pq_centroid(s, c, dsub))))
+                - F.lit(2.0) * _pq_sub_dot(F.col(vec_col), s, c, dsub)
+                for c in range(ksub)
+            ]
+        )
+        nm = f"__pq_scores{s}"
+        df = (
+            df.withColumn(nm, scores)
+            .withColumn(
+                f"code{s}",
+                (F.array_position(F.col(nm), F.array_min(F.col(nm))) - 1).cast("int"),
             )
-            score_names.append(nm)
-        mcol = F.least(*[F.col(n) for n in score_names])
-        code = F.lit(ksub - 1)
-        for c in range(ksub - 1, -1, -1):
-            code = F.when(F.col(score_names[c]) == mcol, F.lit(c)).otherwise(code)
-        df = df.withColumn(f"code{s}", code).drop(*score_names)
+            .drop(nm)
+        )
     return df
 
 
