@@ -190,7 +190,14 @@ def with_ivf_cells(
     n_cells× — when a downstream explode("cells") made Catalyst collapse
     the projection chain, the folds compounded ~140× into a 1.7 MB plan
     whose optimization OOMs a default-1g driver JVM (q_pq_topk, audit
-    2026-08-19); this shape stays ~12 kB through the same explode."""
+    2026-08-19); this shape stays ~12 kB through the same explode.
+
+    Null vectors (the engine's document/embedding tables require non-null
+    vectors, so none occur in practice): every dot is NULL, the comparator
+    falls through to the cell tiebreak, and such rows get cells
+    [0..nprobe) — where the old CASE fallthrough parked them in the
+    arbitrary last bucket.  Neither shape scores them meaningfully; the
+    non-null precondition is the contract."""
     dots = centroid_dots(F.col(vec_col), dim, n_cells)
     pairs = F.array(
         *[F.struct(d.alias("dot"), F.lit(t).alias("cell")) for t, d in enumerate(dots)]
@@ -349,7 +356,10 @@ def assign_to_centroids(df: DataFrame, vec_col: str, centroids: list[list[float]
     Pure Column expression — the k×dim literals ride the plan, nothing
     shuffles.  The distances live in ONE array expression (the running
     when-chain duplicated each distance subtree into every later step —
-    ~650 kB of plan at k=8/dim=64; this shape is ~10× smaller)."""
+    ~650 kB of plan at k=8/dim=64; this shape is ~10× smaller).  Null
+    vectors (excluded by the embedding-table contract) yield cluster NULL
+    here where the old fold defaulted them to cluster 0 — both arbitrary;
+    the non-null precondition is the contract."""
     dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
     nm = "__km_dists"
     return (
@@ -450,7 +460,9 @@ def pq_encode(df: DataFrame, vec_col: str, dim: int = 64, m: int = 8, ksub: int 
     inlined each of the ksub fold expressions ~(ksub+1)× — at m=8/ksub=8
     that was a ~1.8 MB formatted plan whose optimization could OOM a
     default-1g driver JVM; this shape is ~9× smaller with bit-identical
-    arithmetic (same folds, same tie rule)."""
+    arithmetic (same folds, same tie rule) for the non-null vectors the
+    embedding-table contract guarantees (a null vector now codes NULL
+    instead of the old fold's arbitrary ksub-1)."""
     dsub = dim // m
     for s in range(m):
         scores = F.array(

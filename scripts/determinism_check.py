@@ -26,6 +26,18 @@ SF = "/root/testdata/sf0.01"
 CONFIGS = [("local[4]", 7), ("local[16]", 64)]
 
 
+def _canon(v):
+    """Order-stable string form for unorderable cells (dict/list/ndarray/
+    bytes); floats inside keep repr (17-digit) precision."""
+    if isinstance(v, dict):
+        return repr(sorted((str(k), _canon(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return repr([_canon(x) for x in v])
+    if isinstance(v, bytes):
+        return v.hex()
+    return repr(v)
+
+
 def _run_all(master: str, parts: int, names: list[str]) -> dict[str, str]:
     from pyspark.sql import SparkSession
 
@@ -47,6 +59,13 @@ def _run_all(master: str, parts: int, names: list[str]) -> dict[str, str]:
         try:
             pdf = qs[n](spark, SF).toPandas()
             pdf = pdf[sorted(pdf.columns)]
+            # maps/arrays arrive as dict/ndarray object cells, which
+            # sort_values cannot order — canonicalize them to strings
+            # first (dicts by sorted key so Spark's map ordering, which
+            # is not guaranteed, can never masquerade as nondeterminism)
+            for c in pdf.columns:
+                if pdf[c].dtype == object:
+                    pdf[c] = pdf[c].map(_canon)
             pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
             out[n] = hashlib.md5(
                 pdf.to_csv(index=False, float_format="%.17g").encode()

@@ -39,6 +39,15 @@ BNLJ_ALLOWED = {
 }
 
 
+def plan_of(df) -> str:
+    """Formatted physical plan of a pristine (uncached) frame — the one
+    plan-extraction helper shared by the audit and tests/test_plan_audit.py."""
+    df.sparkSession.catalog.clearCache()
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 def audit(names: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
@@ -59,27 +68,26 @@ def audit(names: list[str] | None = None) -> int:
     findings: list[str] = []
     for name in selected:
         try:
-            df = qs[name](spark, SF)
-            spark.catalog.clearCache()
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = plan_of(qs[name](spark, SF))
         except Exception as e:  # a query that cannot even plan is a finding
             findings.append(f"{name}: failed to build plan: {str(e)[:200]}")
+            print(f"BAD  {name}: failed to build plan", flush=True)
             continue
+        mine: list[str] = []
         for bad in BAD:
             if bad in plan:
-                findings.append(f"{name}: {bad} in physical plan")
+                mine.append(f"{name}: {bad} in physical plan")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
-            findings.append(
+            mine.append(
                 f"{name}: BroadcastNestedLoopJoin not in the documented allowlist"
             )
         if len(plan) > PLAN_CHAR_CAP:
-            findings.append(
+            mine.append(
                 f"{name}: formatted plan {len(plan)} chars > {PLAN_CHAR_CAP} "
                 "(expression-tree bomb — see similarity.with_ivf_cells history)"
             )
-        print(f"ok   {name}: {len(plan)} chars", flush=True)
+        findings.extend(mine)
+        print(f"{'BAD ' if mine else 'ok  '} {name}: {len(plan)} chars", flush=True)
     print()
     if findings:
         print("FINDINGS:")

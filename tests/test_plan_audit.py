@@ -14,7 +14,12 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from scripts.plan_audit import BAD, BNLJ_ALLOWED, PLAN_CHAR_CAP  # noqa: E402
+from scripts.plan_audit import (  # noqa: E402
+    BAD,
+    BNLJ_ALLOWED,
+    PLAN_CHAR_CAP,
+    plan_of,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -42,14 +47,7 @@ def plans(spark):
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    out = {}
-    for name in HIGH_RISK:
-        df = qs[name](spark, SF)
-        spark.catalog.clearCache()
-        out[name] = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-    return out
+    return {name: plan_of(qs[name](spark, SF)) for name in HIGH_RISK}
 
 
 def test_no_cartesian_or_rowwise_python(plans):
