@@ -31,7 +31,12 @@ def bitmap_build(
 ) -> DataFrame:
     """(key, block, bm): one word per (key, member-block), bm's set bits
     are the members present.  Duplicate memberships collapse for free
-    (bit_or is idempotent)."""
+    (bit_or is idempotent).
+
+    ``member_col`` must be NONNEGATIVE: ``div`` truncates toward zero
+    while ``pmod`` is always positive, so a negative member id (-1) would
+    silently collide with a positive one (31) in block 0 rather than
+    error.  The engine's member ids (vec_id/order ids) satisfy this."""
     return (
         df.select(
             F.col(key_col).alias("key"),

@@ -60,6 +60,15 @@ def pagerank(
         .distinct()
     )
     n_nodes = nodes.count()  # driver-side scalar: sizes the teleport term
+    if n_nodes == 0:
+        # an upstream filter may legitimately empty the edge list; return
+        # the empty result frame instead of a driver-side ZeroDivisionError
+        # from the teleport term below
+        return nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("rank_fp"),
+            F.lit(0.0).alias("rank"),
+        )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = (15 * SCALE) // (100 * n_nodes) if damping_pct == 85 else (
         (100 - damping_pct) * SCALE

@@ -392,6 +392,11 @@ def kmeans_fit(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
+    if not centroids:
+        raise ValueError("kmeans_fit: input DataFrame has no rows")
+    # fewer rows than k: fit with what exists (every row its own centroid)
+    # rather than raising IndexError from the update loop below
+    k = min(k, len(centroids))
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = assign_to_centroids(df, vec_col, centroids)

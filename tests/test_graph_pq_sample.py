@@ -167,3 +167,40 @@ def test_weighted_sample_prefers_heavy_rows_statistically(spark):
     top = CU.weighted_sample_topk(df, "w", k=20, key_col="id").collect()
     heavy = sum(1 for r in top if r["id"].startswith("h"))
     assert heavy >= 15
+
+
+# ---------------------------------------------------------------------------
+# Degenerate inputs (an upstream filter can legitimately empty any frame;
+# the failure mode must be an empty result or a clear error, never a
+# driver-side ZeroDivisionError/IndexError)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_empty_edges_returns_empty_frame(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    out = G.pagerank(e, iters=3)
+    assert out.columns == ["node", "rank_fp", "rank"]
+    assert out.count() == 0
+
+
+def test_triangles_empty_edges(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    assert G.triangles(e).count() == 0
+
+
+def test_kmeans_empty_input_raises_value_error(spark):
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="no rows"):
+        S.kmeans_fit(emb, k=4, iters=2)
+
+
+def test_kmeans_fewer_rows_than_k_clamps(spark):
+    """3 rows, k=8: fit with 3 centroids (each row its own centroid after
+    convergence) instead of IndexError in the update loop."""
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = S.kmeans_fit(emb, k=8, iters=2)
+    assert len(cents) == 3
+    assert sorted(cents) == [[0.0, 0.0], [0.0, 10.0], [10.0, 0.0]]
