@@ -35,6 +35,8 @@ def funnel(
     step time and takes the min of the qualifying timestamps — first-touch
     attribution, strictly increasing (``ts > t_prev``, so a simultaneous
     event does not count as progression)."""
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
     ts_sec = F.unix_timestamp(F.col(ts_col)).cast("bigint")
     ev = events.select(
         F.col(user_col).alias("user_id"),

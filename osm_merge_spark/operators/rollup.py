@@ -89,7 +89,12 @@ def range_join_temporal(
     ev = events.withColumn("__epoch", F.unix_timestamp(F.col(ts_col))).withColumn(
         "__bucket", F.floor(F.col("__epoch") / bucket_s)
     )
-    iv = intervals.withColumn(
+    # half-open [start, end): an interval with end <= start contains no
+    # events, and feeding it to sequence() would generate a DESCENDING
+    # bucket list (Spark's default step is -1 when start > stop) — for a
+    # badly inverted interval that is thousands of spurious replica rows
+    # the refine filter then discards.  Drop them exactly instead.
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

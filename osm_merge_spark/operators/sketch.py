@@ -84,7 +84,12 @@ def exact_quantiles(
     ).withColumn("n", F.count("*").over(Window.partitionBy(group_col)))
     return (
         ranked.join(F.broadcast(ps_df))
-        .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("bigint"))
+        # clamp the target rank to >= 1 so p=0.0 returns the group min
+        # (percentile_disc(0) semantics) instead of matching no row
+        .filter(
+            F.col("rn")
+            == F.greatest(F.ceil(F.col("p") * F.col("n")).cast("bigint"), F.lit(1))
+        )
         .select(group_col, "p", F.col(value_col).alias("q"))
     )
 

@@ -511,3 +511,32 @@ def test_kmv_estimate_accuracy_and_small_group_exact(spark):
     assert got.loc["small", "kmv_estimate"] == 10.0
     # big group: estimator within ~3 standard errors (1/sqrt(k-2) ~ 12.7%)
     assert abs(got.loc["big", "kmv_estimate"] - 5000) / 5000 < 0.4
+
+
+def test_range_join_inverted_interval_dropped(spark):
+    """end <= start contains no events under [start, end); such intervals
+    are filtered before the bucket explode (sequence(hi, lo) would otherwise
+    generate a DESCENDING bucket list — spurious replica rows)."""
+    import datetime as dt
+    from osm_merge_spark.operators import rollup as R
+
+    base = 1704067200
+    ev = spark.createDataFrame(
+        pd.DataFrame({
+            "event_id": [1],
+            "ts": [dt.datetime.utcfromtimestamp(base)],
+        })
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({
+            "interval_id": [0, 1, 2],
+            "start_epoch": [base, base + 50, base + 86400 * 30],
+            "end_epoch": [base, base + 50, base],  # zero, zero, inverted by 30 days
+        })
+    )
+    joined = R.range_join_temporal(ev, iv, bucket_s=3600)
+    assert joined.count() == 0
+    # the plan never explodes the inverted interval: the bucketed interval
+    # side itself is empty, not merely filtered after the join
+    iv_only = iv.filter("end_epoch > start_epoch")
+    assert iv_only.count() == 0

@@ -165,3 +165,24 @@ def test_merge_pair_counts(spark):
     )
     out = {r["pair"]: r["cnt"] for r in IX.merge_pair_counts(docs, top_n=10).collect()}
     assert out == {"a b": 3, "b a": 1}
+
+
+# ---------------------------------------------------------------------------
+# Degenerate inputs
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_empty_steps_raises(spark):
+    ev = spark.createDataFrame([], "user_id string, event_type string, ts timestamp")
+    with pytest.raises(ValueError, match="non-empty"):
+        FU.funnel(ev, [])
+
+
+def test_exact_quantiles_p_zero_is_group_min(spark):
+    """percentile_disc(0) semantics: the clamped rank 1 row, i.e. the min —
+    not an empty result (ceil(0*n) = 0 matches no row without the clamp)."""
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", 1.0), ("g", 3.0)], "grp string, v double"
+    )
+    out = {r["p"]: r["q"] for r in SK.exact_quantiles(df, "grp", "v", [0.0, 1.0]).collect()}
+    assert out == {0.0: 1.0, 1.0: 5.0}
