@@ -4056,14 +4056,69 @@ def q_asof_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Lloyd k-means (operators/similarity.kmeans_fit) — iterative algorithm:
-# no SQL twin (the driver records the weaker rows-only check for iterative
-# ops); tests/test_operators.py verifies against an identical numpy Lloyd
-# reference instead.
+# Lloyd k-means (operators/similarity.kmeans_fit) — iterative algorithm,
+# but with a FIXED iteration count (5) and deterministic init (k lowest
+# vec_ids), so the twin unrolls the loop as chained CTEs: assign_i =
+# argmin-sq-dist window over centroids_{i-1} (tie → lowest cluster, the
+# array_position-of-min rule), centroids_i = per-cluster per-dim mean
+# (empty cluster keeps its previous centroid via LEFT JOIN + COALESCE).
+# The sq-dist fold is list_reduce over the zipped pair list in index
+# order — bitwise the same left fold as Spark's F.aggregate from 0.0
+# (squares are never -0.0, so the first-element init is identical).  The
+# per-cluster mean sums accumulate in engine order on both sides; the
+# assignment margins tolerate that low-bit noise (pinned empirically by
+# scripts/determinism_check.py: byte-stable output across local[4]/7 vs
+# local[16]/64 partitionings, which perturb Spark's own sum order more
+# than the DuckDB-vs-Spark difference does).  tests/test_operators.py
+# additionally verifies against an identical numpy Lloyd reference.
 # ---------------------------------------------------------------------------
 
 
-@register("q_kmeans_clusters", None)
+def _kmeans_sql(k: int = 8, dim: int = 64, iters: int = 5) -> str:
+    def assign(name: str, cprev: str) -> str:
+        return f""", {name} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(e.embedding, c.cent),
+                 p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+               (acc, v) -> acc + v) ASC,
+             c.cluster ASC) AS rn
+    FROM embeddings e CROSS JOIN {cprev} c
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        f"""WITH c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"a{i}", f"c{i - 1}"))
+        parts.append(f""", c{i} AS (
+  SELECT p.cluster, COALESCE(m.cent, p.cent) AS cent
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cluster, list(s / n ORDER BY d) AS cent FROM (
+      SELECT a.cluster, dd.d, sum(CAST(e.embedding[dd.d] AS DOUBLE)) AS s, count(*) AS n
+      FROM a{i} a JOIN embeddings e USING (vec_id)
+      CROSS JOIN (SELECT CAST(unnest(range(1, {dim + 1})) AS INTEGER) AS d) dd
+      GROUP BY a.cluster, dd.d
+    ) GROUP BY cluster
+  ) m USING (cluster)
+)""")
+    parts.append(assign("afin", f"c{iters}"))
+    parts.append("""
+SELECT CAST(cluster AS INTEGER) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       min(vec_id) AS min_vec_id
+FROM afin GROUP BY cluster ORDER BY cluster""")
+    return "".join(parts)
+
+
+@register("q_kmeans_clusters", _kmeans_sql())
 def q_kmeans_clusters(spark, sf_dir):
     """Deterministic-init Lloyd k-means over the embeddings (k=8, 5
     rounds: broadcast-literal assign + one partial-agg mean update per
