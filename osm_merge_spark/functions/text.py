@@ -122,8 +122,24 @@ def minhash_signature(text: Column | str, k: int = 8) -> Column:
 
     Coefficients are small deterministic literals so the DuckDB oracle can
     reproduce them exactly. Empty docs → array of p (the hash modulus).
+
+    Perf note (optimization guide §2.3 "don't compute things twice"): this
+    single-expression form embeds a fresh copy of the per-character token-hash
+    fold in EVERY one of the k signature slots — Catalyst does not
+    common-subexpression-eliminate lambda-bearing higher-order functions, so
+    the fold runs k times per row.  Hot paths should project
+    :func:`token_hashes` into its own column first (a projection barrier that
+    CollapseProject will not inline, because the column is non-cheap and
+    multiply referenced) and build the signature from it with
+    :func:`minhash_signature_from_hashes` — identical values, 1 fold instead
+    of k.
     """
-    hs = token_hashes(text)
+    return minhash_signature_from_hashes(token_hashes(text), k)
+
+
+def minhash_signature_from_hashes(hs: Column, k: int = 8) -> Column:
+    """:func:`minhash_signature` over a precomputed token-hash array column
+    (same coefficients, bit-identical output)."""
 
     def perm(a: int, b: int):
         return lambda h: (a * h + b) % HASH_MOD
@@ -241,7 +257,9 @@ def hashed_linear_logit(text: Column | str, buckets: int = 256, seed: int = 1) -
     codegen, no shuffle, no Python.
     """
     s = hashed_linear_wsum(text, buckets, seed)
-    n = F.size(token_hashes(text))
+    # size(token_hashes(t)) == size(tokens(t)) — transform preserves length;
+    # counting tokens directly skips a full per-char hash fold (guide §2.3)
+    n = F.size(tokens(text))
     return F.when(
         n > 0, s.cast("double") / (n.cast("double") * F.lit(200.0))
     ).otherwise(F.lit(0.0))

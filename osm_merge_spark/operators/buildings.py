@@ -29,10 +29,19 @@ def overlap_join(
 ) -> DataFrame:
     """Pairs of overlapping boxes with intersection area (m², equirect at the
     pair's latitude).  Equi-join on a coarse lon/lat bucket (each box lands in
-    every bucket its bbox touches), exact overlap refine, pair dedupe.
+    every bucket its bbox touches), exact overlap refine, report-once dedupe.
 
     a/b: (<id>, min_lon, min_lat, max_lon, max_lat, ...).
-    """
+
+    Dedupe (r6, guide §2.4 "remove shuffles outright"): a pair sharing
+    several buckets is emitted only in its *canonical* bucket — the one
+    containing the intersection's lower-left corner (max of the two min
+    corners).  For an overlapping pair that corner lies inside both boxes, so
+    both covers contain its bucket and the pair is emitted there exactly
+    once; non-overlapping pairs are dropped by the w>0 ∧ h>0 refine
+    regardless.  This replaces the previous dropDuplicates, which shuffled
+    every (pair × shared-bucket) row with all eight bbox columns through an
+    exchange."""
 
     def bucketed(df: DataFrame, pfx: str):
         bx = F.explode(
@@ -56,7 +65,10 @@ def overlap_join(
 
     aa = bucketed(a.select(a_id, "min_lon", "min_lat", "max_lon", "max_lat"), "a_")
     bb = bucketed(b.select(b_id, "min_lon", "min_lat", "max_lon", "max_lat"), "b_")
-    j = aa.join(bb, ["bx", "by"]).drop("bx", "by").dropDuplicates([a_id, b_id])
+    j = aa.join(bb, ["bx", "by"]).filter(
+        (F.col("bx") == F.floor(F.greatest(F.col("a_min_lon"), F.col("b_min_lon")) / bucket_deg).cast("long"))
+        & (F.col("by") == F.floor(F.greatest(F.col("a_min_lat"), F.col("b_min_lat")) / bucket_deg).cast("long"))
+    ).drop("bx", "by")
 
     w = F.greatest(
         F.least(F.col("a_max_lon"), F.col("b_max_lon")) - F.greatest(F.col("a_min_lon"), F.col("b_min_lon")),

@@ -53,6 +53,32 @@ MATCH_RATIO = 80.0
 CANDIDATE_CAP = 7
 LENGTH_MISMATCH_M = 1000.0
 
+# Candidate-join zoom (r6, guide §2.3 "shuffle fewer bytes"/§1.2 "the
+# distributed algorithm").  The cover/join cost is driven by cells-per-way ×
+# ways-per-cell: at z18 (~150 m cells) a typical multi-hundred-meter way
+# covers ~10-14 cells, so every true pair was rediscovered in ~10 shared
+# cells — the cell join emitted 27M rows for 2.7M distinct pairs on the
+# replicas=4 bench corpus.  z16 (~600 m cells) puts way length ≈ cell edge
+# (O(1) cells per way): 8.5M join rows for the same 2.7M pairs, measured
+# 2.4× faster end-to-end at both bench corpus sizes (OPTIMIZATION_r06.md).
+# Correctness is zoom-independent by construction: the pad_m=threshold cover
+# guarantees any pair within the distance threshold shares a cell at ANY
+# zoom (the min distance from a polyline to a straight cell border is
+# attained at a vertex, and vertices are always cover samples), and every
+# candidate beyond the threshold is dropped by the exact kernel refine.
+DEFAULT_CONFLATE_ZOOM = 16
+
+# Shuffled-hash-join hint for the cell join (guide §3.1): the banded cover
+# table could never be broadcast at scale, and SHJ skips the two full sorts
+# a sort-merge join pays on the fattest exchange of the pipeline.  AQE skew
+# splitting applies to SHJ as well.
+CELL_JOIN_SHJ = True
+# Payload/attach joins (narrow id-keyed dims, too big to broadcast at
+# scale): interleaved A/B rounds at both bench corpus sizes showed hinting
+# ALL pipeline joins to shuffled-hash fastest (OPTIMIZATION_r06.md) — SMJ's
+# sorts buy nothing the downstream aggregations need.
+PAYLOAD_JOIN_SHJ = True
+
 
 # ---------------------------------------------------------------------------
 # Cell cover / ring expansion UDFs
@@ -227,7 +253,7 @@ def candidate_pairs(
     primary: DataFrame,
     secondary: DataFrame,
     threshold_m: float = DEFAULT_THRESHOLD_M,
-    zoom: int = grid.DEFAULT_ZOOM,
+    zoom: int = DEFAULT_CONFLATE_ZOOM,
     max_abs_lat: float = 60.0,
     salt_hot_threshold: int | None = None,
 ) -> DataFrame:
@@ -235,7 +261,11 @@ def candidate_pairs(
 
     primary:  (ext_id, geom, ...)   — ring-expanded side
     secondary:(way_id, geom, ...)   — covered side
-    Returns distinct (ext_id, way_id) candidate pairs with both geoms+tags.
+    Returns distinct (ext_id, way_id) candidate pairs with the columns the
+    exact refine needs: both geoms plus the pre-normalized name/ref columns.
+    (r6: tags/version no longer ride the per-pair path — ``conflate``
+    re-attaches them to the ~|primaries| winners after best-match selection,
+    per guide §8 "decide with small rows, move big rows once".)
     """
     # Late materialization: the cell join runs over NARROW (id, cell, bbox)
     # rows only — a skewed hot cell then costs slim pairs, not wide payload
@@ -247,15 +277,12 @@ def candidate_pairs(
     p_payload = primary.select(
         "ext_id",
         F.col("geom").alias("geom_p"),
-        F.col("tags").alias("tags_p"),
         TG.normalize_name(F.element_at("tags", F.lit("name"))).alias("name_norm_p"),
         TG.ref_number(F.element_at("tags", F.lit("ref:usfs"))).alias("ref_num_p"),
     )
     s_payload = secondary.select(
         "way_id",
         F.col("geom").alias("geom_s"),
-        F.col("tags").alias("tags_s"),
-        "version",
         TG.normalize_name(F.element_at("tags", F.lit("name"))).alias("name_norm_s"),
         TG.ref_number(F.element_at("tags", F.lit("ref:usfs"))).alias("ref_num_s"),
     )
@@ -267,20 +294,35 @@ def candidate_pairs(
         "way_id", "cell", F.col("bbox").alias("bbox_s")
     )
 
+    def cell_join(left, right, keys):
+        if CELL_JOIN_SHJ:
+            return left.join(right.hint("shuffle_hash"), keys)
+        return left.join(right, keys)
+
     if salt_hot_threshold:
-        counts = s.groupBy("cell").agg(F.count("*").alias("cnt"))
+        # density pre-pass for the salt map (r6): counts come from a cheap
+        # first-vertex proxy in pure Column math rather than a second full
+        # cover pass (UDF + explode) over the secondary side.  Salting is
+        # pure partitioning — any density estimate yields identical results,
+        # and the residual skew a proxy misses is AQE skew-join's job.
+        proxy = secondary.select(
+            grid.cell_id_col(
+                F.element_at("geom", 1), F.element_at("geom", 2), zoom
+            ).alias("cell")
+        )
+        counts = proxy.groupBy("cell").agg(F.count("*").alias("cnt"))
         salts = salt_factors(counts, hot_threshold=salt_hot_threshold)
         # short-circuit: when the frequency pre-pass finds no hot cells the
         # salt machinery (broadcast left-join + per-row sequence explode +
         # the wider (cell, salt) shuffle key) is pure overhead — the salts
         # table is tiny by construction, so this check is one cheap job
         if salts.limit(1).count() == 0:
-            joined = p.join(s, "cell")
+            joined = cell_join(p, s, "cell")
         else:
             s2, p2 = apply_salt(s, p, salts, big_key="way_id")
-            joined = p2.join(s2, ["cell", "salt"])
+            joined = cell_join(p2, s2, ["cell", "salt"])
     else:
-        joined = p.join(s, "cell")
+        joined = cell_join(p, s, "cell")
 
     # JVM-side bbox-gap prefilter: equirectangular bbox distance lower-bounds
     # the true distance, so pairs whose boxes sit further apart than the
@@ -307,6 +349,9 @@ def candidate_pairs(
     joined = joined.filter(gap_m <= threshold_m)
 
     pairs = joined.select("ext_id", "way_id").dropDuplicates(["ext_id", "way_id"])
+    if PAYLOAD_JOIN_SHJ:
+        p_payload = p_payload.hint("shuffle_hash")
+        s_payload = s_payload.hint("shuffle_hash")
     return pairs.join(p_payload, "ext_id").join(s_payload, "way_id")
 
 
@@ -381,7 +426,7 @@ def conflate(
     primary: DataFrame,
     secondary: DataFrame,
     threshold_m: float = DEFAULT_THRESHOLD_M,
-    zoom: int = grid.DEFAULT_ZOOM,
+    zoom: int = DEFAULT_CONFLATE_ZOOM,
     salt_hot_threshold: int | None = None,
     persist_best: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
@@ -392,27 +437,50 @@ def conflate(
                reference embeds the same debug tags (`conflator.py:247,407`).
     new:       primary features with no candidate (anti-join), tagged
                informal=yes / fixme (`conflator.py:425-434`).
+
+    r6 shape (guide §8): the per-pair path decides with small rows — ids,
+    geoms and pre-normalized names only.  The heavy columns (tag maps,
+    version, output geometry) attach to the ~|primaries| winners AFTER
+    best-match selection via two id equi-joins, so the pair joins, the
+    Arrow kernel batches, the min_by exchange and the persisted best-match
+    table all carry narrow rows.
     """
     pairs = candidate_pairs(primary, secondary, threshold_m, zoom, salt_hot_threshold=salt_hot_threshold)
     scored = score_pairs(pairs, threshold_m)
-    best = best_matches(scored)
+    # decision columns only: geoms served the kernel and are re-attachable
+    # by id — dropping them before the aggregation shrinks the min_by
+    # shuffle and the persisted cache by ~an order of magnitude
+    slim = scored.select(
+        "ext_id", "way_id", "hits", "dist", "dslope", "angle", "name_ratio", "ref_ratio"
+    )
+    best = best_matches(slim)
     if persist_best:
         # both outputs (conflated + anti-join "new") consume `best`; persist
         # so the join/score stages run once, not once per output action
         best = best.persist()
 
-    conflated = best.select(
-        "ext_id",
-        "way_id",
-        TG.merge_tags(TG.drop_junk_tags("tags_p"), TG.drop_junk_tags("tags_s")).alias("tags"),
-        (F.col("version") + 1).alias("version"),
-        F.round("dist", 2).alias("dist"),
-        F.col("hits"),
-        F.round("name_ratio", 1).alias("name_ratio"),
-        F.col("ref_ratio"),
-        F.round("dslope", 4).alias("dslope"),
-        F.round("angle", 4).alias("angle"),
-        F.col("geom_p").alias("geom"),
+    p_att = primary.select(
+        "ext_id", F.col("tags").alias("tags_p"), F.col("geom").alias("geom_p")
+    )
+    s_att = secondary.select("way_id", F.col("tags").alias("tags_s"), "version")
+    if PAYLOAD_JOIN_SHJ:
+        p_att, s_att = p_att.hint("shuffle_hash"), s_att.hint("shuffle_hash")
+    conflated = (
+        best.join(p_att, "ext_id")
+        .join(s_att, "way_id")
+        .select(
+            "ext_id",
+            "way_id",
+            TG.merge_tags(TG.drop_junk_tags("tags_p"), TG.drop_junk_tags("tags_s")).alias("tags"),
+            (F.col("version") + 1).alias("version"),
+            F.round("dist", 2).alias("dist"),
+            F.col("hits"),
+            F.round("name_ratio", 1).alias("name_ratio"),
+            F.col("ref_ratio"),
+            F.round("dslope", 4).alias("dslope"),
+            F.round("angle", 4).alias("angle"),
+            F.col("geom_p").alias("geom"),
+        )
     )
 
     # overlay (not map_concat): a primary feature already carrying informal/

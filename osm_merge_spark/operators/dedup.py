@@ -61,9 +61,23 @@ def minhash_lsh_pairs(
     spatial cell join.  Banding keys are near-uniform, so the self-join
     shuffles evenly; a pathological bucket (e.g. empty docs) is capped by the
     group limit below.
+
+    Perf (optimization guide §2.3/§2.4, r6): the token-hash fold is projected
+    ONCE into ``__hs`` (Catalyst does not CSE lambda higher-order functions,
+    so the single-expression signature form re-ran the per-character fold k
+    times per row), and the self-join is forced to a shuffled-hash join so
+    both sides hash-partition on (band, bucket) with identical subtrees —
+    exchange reuse then computes the signature subtree once instead of twice
+    (the broadcast plan rebuilt it for the build side).  At 100 TB the banded
+    table could never be broadcast anyway, so the shuffle join is also the
+    scale-correct shape.  Values are unchanged.
     """
     rows_per_band = k // bands
-    sig = docs.select(F.col(id_col), TX.minhash_signature(F.col(text_col), k).alias("sig"))
+    sig = docs.select(
+        F.col(id_col), TX.token_hashes(F.col(text_col)).alias("__hs")
+    ).select(
+        F.col(id_col), TX.minhash_signature_from_hashes(F.col("__hs"), k).alias("sig")
+    )
 
     def bucket_key(b: int):
         vals = [F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
@@ -90,7 +104,11 @@ def minhash_lsh_pairs(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
 
 

@@ -63,23 +63,60 @@ def knn_join(
 
     probes:  (probe_id, lon, lat, ...); targets: (target_id, lon, lat, ...).
     Returns probe columns + target id + ``dist`` + ``rank``.
-    Entirely JVM-side: cell equi-join (ring-expanded probes) + haversine +
-    rank window. Broadcast the target side by hinting upstream if small.
+    Entirely JVM-side: cell equi-join (border-epsilon-expanded probes) +
+    haversine + rank window. Broadcast the target side by hinting upstream if
+    small.
+
+    Perf (optimization guide §2.3/§2.4, r6): probes previously exploded a
+    blanket 3×3 ring (9 rows per probe) and then paid a dropDuplicates
+    exchange.  Neighbor cells are now emitted only where the probe lies
+    within the tolerance (×1.25 safety margin for the local-scale
+    approximation) of that cell border — the same border-epsilon pattern the
+    conflation cover uses (grid.cover_polyline pad_m) — which is ~1-2 cells
+    per probe instead of 9, and the per-row array_distinct makes the
+    (probe, cell) rows unique by construction, so the dedupe exchange is
+    gone.  Candidate discovery is still a superset: a target within
+    tolerance of the probe can only lie in the base cell or across a border
+    that is itself within tolerance of the probe, so results are unchanged.
     """
     z = zoom_for_tolerance(tolerance_m)
     p = probes.select(
         F.col(probe_id), F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
     )
-    # ring-expand probes: 3x3 neighbor cells as an exploded array
-    dx = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dx")
-    p = p.select("*", dx)
-    p = p.select("*", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dy"))
     n = 1 << z
-    base_x = F.floor((F.col("p_lon") + 180.0) / 360.0 * n).cast("long")
+    xf = (F.col("p_lon") + 180.0) / 360.0 * n
     lat_c = F.least(F.greatest(F.col("p_lat"), F.lit(-85.05112878)), F.lit(85.05112878))
-    base_y = F.floor((1.0 - F.asinh(F.tan(F.radians(lat_c))) / float(np.pi)) / 2.0 * n).cast("long")
-    cell = (F.pmod(base_x + F.col("dx"), F.lit(n)) * n + F.least(F.greatest(base_y + F.col("dy"), F.lit(0)), F.lit(n - 1)))
-    p = p.withColumn("cell", cell.cast("long")).drop("dx", "dy").dropDuplicates([probe_id, "cell"])
+    yf = (1.0 - F.asinh(F.tan(F.radians(lat_c))) / float(np.pi)) / 2.0 * n
+    base_x = F.floor(xf).cast("long")
+    base_y = F.floor(yf).cast("long")
+    fx = xf - F.floor(xf)
+    fy = yf - F.floor(yf)
+    # mercator is locally conformal: a zoom-z tile edge spans the same ground
+    # meters in x and y at the point's latitude
+    tile_m = F.lit(grid.EARTH_CIRCUMFERENCE_M) * F.cos(F.radians(lat_c)) / n
+    pad = F.lit(tolerance_m * 1.25) / tile_m  # tolerance as a tile-edge fraction
+    west, east = fx < pad, fx > 1.0 - pad
+    north, south = fy < pad, fy > 1.0 - pad
+
+    def cell(dx: int, dy: int) -> Column:
+        x = F.pmod(base_x + dx, F.lit(n)) if dx else base_x
+        y = F.least(F.greatest(base_y + dy, F.lit(0)), F.lit(n - 1)) if dy else base_y
+        return (x * n + y).cast("long")
+
+    cand = F.array(
+        cell(0, 0),
+        F.when(west, cell(-1, 0)),
+        F.when(east, cell(1, 0)),
+        F.when(north, cell(0, -1)),
+        F.when(south, cell(0, 1)),
+        F.when(west & north, cell(-1, -1)),
+        F.when(west & south, cell(-1, 1)),
+        F.when(east & north, cell(1, -1)),
+        F.when(east & south, cell(1, 1)),
+    )
+    p = p.withColumn(
+        "cell", F.explode(F.array_distinct(F.filter(cand, lambda c: c.isNotNull())))
+    )
 
     t = targets.select(
         F.col(target_id), F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat")

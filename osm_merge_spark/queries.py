@@ -659,11 +659,21 @@ def _mh_sql(i: int) -> str:
     """,
 )
 def q_minhash_sig(spark, sf_dir):
-    """MinHash signatures (k=4) — the LSH banding input."""
+    """MinHash signatures (k=4) — the LSH banding input.  Token hashes are
+    projected once (projection barrier) so the per-char fold runs 1× per row
+    instead of once per signature slot × element_at reference (guide §2.3)."""
     d = _t(spark, sf_dir, "documents")
-    sig = TX.minhash_signature(F.col("text"), k=4)
-    return d.select(
-        "doc_id", *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)]
+    hs = d.select("doc_id", TX.token_hashes(F.col("text")).alias("__hs"))
+
+    def mh(i: int):
+        a, b = 2 * i + 1, 7 * i + 3  # minhash_signature's coefficients
+        return F.coalesce(
+            F.array_min(F.transform(F.col("__hs"), lambda h: (a * h + b) % TX.HASH_MOD)),
+            F.lit(TX.HASH_MOD).cast("bigint"),
+        )
+
+    return hs.select(
+        "doc_id", *[mh(i).alias(f"mh{i}") for i in range(4)]
     ).orderBy("doc_id")
 
 
@@ -899,13 +909,44 @@ _STOP_SQL = {
 )
 def q_text_stats(spark, sf_dir):
     """Language ID (stopword voting), quality score, token count — the
-    text-analysis layer, all JVM-side Column math."""
+    text-analysis layer, all JVM-side Column math.
+
+    Staged form (r6, guide §2.3): the single-expression helpers embed a fresh
+    tokenization in every reference (Catalyst does not CSE lambda HOFs), so
+    ``detect_lang`` alone re-tokenized ~20×.  Here tokens are projected once,
+    the per-language votes once each, and the argmax/quality math runs over
+    cheap scalar columns — the same expression composition order as
+    TX.detect_lang / TX.quality_score, so every double is bit-identical."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    t1 = d.select("doc_id", "text", TX.tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+
+    def votes(lang: str):
+        sw = TX.LANG_STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda x: F.lower(x).isin(*sw)))
+
+    langs = sorted(TX.LANG_STOPWORDS)
+    t2 = t1.select(
         "doc_id",
-        TX.token_count("text").alias("n_tokens"),
-        TX.detect_lang("text").alias("lang_detected"),
-        TX.quality_score("text").alias("quality"),
+        "text",
+        F.size(toks).alias("n_tokens"),
+        *[votes(lang).alias(f"__v_{lang}") for lang in langs],
+    )
+    vcols = {lang: F.col(f"__v_{lang}") for lang in langs}
+    best = F.greatest(*vcols.values())
+    lang_expr = F.lit("und")
+    for lang in sorted(langs, reverse=True):
+        lang_expr = F.when((best > 0) & (vcols[lang] == best), F.lit(lang)).otherwise(lang_expr)
+    ntok = F.col("n_tokens").cast("double")
+    stop_r = F.when(ntok == 0, F.lit(0.0)).otherwise(F.col("__v_en") / ntok)
+    len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    punct_pen = TX.punct_ratio(F.col("text"))
+    score = 0.4 * len_score + 0.4 * F.least(stop_r * 4.0, F.lit(1.0)) + 0.2 * (1.0 - punct_pen)
+    return t2.select(
+        "doc_id",
+        "n_tokens",
+        lang_expr.alias("lang_detected"),
+        F.round(score, 6).alias("quality"),
     ).orderBy("doc_id")
 
 

@@ -66,8 +66,16 @@ def test_jittered_self_conflation(spark, osm_ways):
     conflated, new = C.conflate(primary, secondary)
     c = conflated.cache()
     assert c.count() == 87 and new.count() == 0
-    # self-matches dominate; the rest are dist-0 crossing ways (real network)
-    assert c.filter(F.col("way_id") == -F.col("ext_id")).count() >= 80
+    # self-matches dominate; the rest are dist-0 candidates — crossing ways
+    # and J3 length-mismatch/hull-contact sentinels (the extract contains a
+    # 360 km way, osm_id 834045326, whose hull "contacts" short ways far from
+    # the line; the sentinel forces dist=0.0, beating the 3 m self-match).
+    # J3 pairs are discoverable only when the polylines share a cover cell,
+    # so their count grows as the conflate zoom coarsens: z18 found one,
+    # the r6 default z16 finds three — closer to the reference's brute-force
+    # all-pairs answer, which would consider every such pair.  79 of 87
+    # self-matches still dominates.
+    assert c.filter(F.col("way_id") == -F.col("ext_id")).count() >= 79
     assert c.agg(F.max("dist")).collect()[0][0] <= 3.0
     hits = {r["hits"]: r["count"] for r in c.groupBy("hits").count().collect()}
     assert hits.get(3, 0) >= 40  # name + ref + geometry all agree
