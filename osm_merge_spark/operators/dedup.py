@@ -52,25 +52,47 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     k: int = 8,
     bands: int = 4,
+    hot_bucket_rows: int = 256,
+    max_blocks: int = 64,
+    sort_ready: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding: signature of k hashes
     split into ``bands`` bands; docs sharing any band bucket pair up.
     Returns (id_a, id_b, n_bands) with id_a < id_b.
 
     The band bucket is the manufactured equi-join key — the LSH analog of the
-    spatial cell join.  Banding keys are near-uniform, so the self-join
-    shuffles evenly; a pathological bucket (e.g. empty docs) is capped by the
-    group limit below.
+    spatial cell join.
 
-    Perf (optimization guide §2.3/§2.4, r6): the token-hash fold is projected
-    ONCE into ``__hs`` (Catalyst does not CSE lambda higher-order functions,
-    so the single-expression signature form re-ran the per-character fold k
-    times per row), and the self-join is forced to a shuffled-hash join so
-    both sides hash-partition on (band, bucket) with identical subtrees —
-    exchange reuse then computes the signature subtree once instead of twice
-    (the broadcast plan rebuilt it for the build side).  At 100 TB the banded
-    table could never be broadcast anyway, so the shuffle join is also the
-    scale-correct shape.  Values are unchanged.
+    Perf (optimization guide §2.3/§2.5, r6):
+
+    - the token-hash fold is projected ONCE into ``__hs`` (Catalyst does not
+      CSE lambda higher-order functions, so the single-expression signature
+      form re-ran the per-character fold k times per row);
+    - **hot-bucket triangle decomposition**: a bucket with B members emits
+      B² join rows from ONE task (a boilerplate-heavy corpus routinely has a
+      mega-bucket — the bench corpus puts 77% of docs in one bucket), and
+      AQE skew-join cannot help because the *input* partition is tiny in
+      bytes while the *output* is quadratic.  A count pre-pass finds buckets
+      above ``hot_bucket_rows`` (top-K collected salt map, the conflate
+      hot-cell salt pattern); members of a hot bucket get a deterministic
+      sub-block
+      ``blk = pmod(xxhash64(id), nb)`` and the self-join becomes a join on
+      (band, bucket, i, j) over the upper triangle of block pairs: the left
+      side owns blocks i = blk..nb-1 as the row side, the right side blocks
+      j = 0..blk as the column side, so every unordered pair lands in
+      exactly one (i ≤ j) task and the quadratic work spreads over
+      nb·(nb+1)/2 tasks.  Cold buckets keep nb = 1, which degenerates to
+      the plain self-join — the decomposition is pure partitioning and the
+      output is bit-identical;
+    - the banded table is persisted: it feeds the count pre-pass and both
+      join sides, and recomputing the signature subtree three times was the
+      next-largest cost after the join itself;
+    - ``sort_ready=True`` range-partitions the pair stream by (id_a, id_b)
+      *before* the final aggregation: the aggregate preserves the range
+      partitioning, so a caller's ``orderBy(id_a, id_b)`` plans as an
+      in-partition sort with NO extra exchange — without it the sort's range
+      exchange re-executed the whole aggregate a second time for boundary
+      sampling.
     """
     rows_per_band = k // bands
     sig = docs.select(
@@ -102,13 +124,72 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    pairs = (
-        a.hint("shuffle_hash")
-        .join(b.hint("shuffle_hash"), ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    # three consumers below (count pre-pass + both join sides) — persist so
+    # the signature fold runs once per doc, not three times
+    banded = banded.persist()
+    # Hot-bucket salt map: a tiny top-K aggregate collected to the driver and
+    # inlined as a literal map (the same legitimate small-aggregate collect as
+    # the conflation salt map / pack offsets).  An inline lookup keeps the
+    # plan a straight line — the broadcast-join formulation added two serial
+    # AQE stage materializations (counts exchange + broadcast build) that
+    # cost more wall than the whole pair join on a warmed session.  The
+    # top-K cap bounds driver memory at any corpus size; buckets beyond the
+    # cap simply stay unsplit (less parallelism, identical output).
+    hot_rows = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > hot_bucket_rows)
+        .orderBy(F.desc("cnt"), "band", "bucket")
+        .limit(4096)
+        .collect()
     )
+    if hot_rows:
+        entries: list = []
+        for r in hot_rows:
+            nb = min(-(-r["cnt"] // hot_bucket_rows), max_blocks)
+            entries += [F.lit(f"{r['band']}:{r['bucket']}"), F.lit(int(nb))]
+        nb_expr = F.coalesce(
+            F.element_at(
+                F.create_map(*entries),
+                F.concat_ws(":", F.col("band"), F.col("bucket")),
+            ),
+            F.lit(1),
+        )
+    else:
+        nb_expr = F.lit(1)
+    b2 = banded.withColumn("nb", nb_expr).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(id_col)), F.col("nb")).cast("int")
+    )
+    left = b2.withColumn("j", F.explode(F.sequence(F.col("blk"), F.col("nb") - 1))).select(
+        F.col(id_col).alias("id_a"), "band", "bucket", F.col("blk").alias("i"), "j"
+    )
+    right = b2.withColumn("i", F.explode(F.sequence(F.lit(0), F.col("blk")))).select(
+        F.col(id_col).alias("id_b"), "band", "bucket", "i", F.col("blk").alias("j")
+    )
+    # AQE coalescing sizes post-shuffle partitions by INPUT bytes; this join's
+    # inputs are tiny (ids + band keys) while its output is quadratic in the
+    # bucket size, so left alone AQE collapses the whole pair generation —
+    # triangle blocks included — into one task.  An explicit user repartition
+    # on the join keys is exempt from coalescing and already satisfies the
+    # join's required distribution, so no further exchange is added; the
+    # width follows the session's shuffle-partition setting (scale-adaptive,
+    # not a local constant).
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    left = left.repartition(n_parts, "band", "bucket", "i", "j")
+    right = right.repartition(n_parts, "band", "bucket", "i", "j")
+    pairs = (
+        left.hint("shuffle_hash")
+        .join(right.hint("shuffle_hash"), ["band", "bucket", "i", "j"])
+        # diagonal blocks see both orderings (keep a<b); off-diagonal blocks
+        # see each unordered pair once in arbitrary order (canonicalize)
+        .filter((F.col("i") != F.col("j")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    if sort_ready:
+        pairs = pairs.repartitionByRange("id_a", "id_b")
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
 
 

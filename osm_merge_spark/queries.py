@@ -695,9 +695,11 @@ def q_minhash_sig(spark, sf_dir):
 )
 def q_minhash_band_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs via the engine's banding join (k=4,
-    2 bands — shingle→minhash→band→bucket-join)."""
+    2 bands — shingle→minhash→band→bucket-join).  ``sort_ready`` range-
+    partitions the pair stream so this orderBy is an in-partition sort (no
+    second exchange, no aggregate re-execution for boundary sampling)."""
     d = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(d, k=4, bands=2).orderBy("id_a", "id_b")
+    return D.minhash_lsh_pairs(d, k=4, bands=2, sort_ready=True).orderBy("id_a", "id_b")
 
 
 _SIMHASH_SQL_BITS = " + ".join(

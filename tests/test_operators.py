@@ -119,6 +119,50 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in set(zip(pairs["id_a"], pairs["id_b"]))
 
 
+def test_minhash_lsh_hot_bucket_triangle_decomposition(spark):
+    """r6 optimization guard: a mega-bucket corpus (every doc near-identical
+    → one LSH bucket holds everything) must yield EXACTLY the same pairs
+    whether the hot-bucket triangle decomposition fires (low threshold →
+    many sub-blocks) or not (threshold above the corpus size → the plain
+    self-join).  The decomposition is pure partitioning: every unordered
+    pair lands in exactly one (i <= j) block task, diagonal blocks filter
+    a < b, off-diagonal blocks canonicalize with least/greatest."""
+    n = 120
+    texts = ["common shared boilerplate text body"] * (n - 2) + [
+        "common shared boilerplate text body variant",
+        "entirely different words nothing alike here at all",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(1, n + 1)), "text": texts})
+    )
+    split = (
+        D.minhash_lsh_pairs(docs, k=4, bands=2, hot_bucket_rows=16, max_blocks=8)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    plain = (
+        D.minhash_lsh_pairs(docs, k=4, bands=2, hot_bucket_rows=10**9)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(split, plain)
+    # the mega-bucket really is quadratic: all (n-2 choose 2) identical-doc
+    # pairs appear, in both bands
+    ident = split[(split["id_a"] <= n - 2) & (split["id_b"] <= n - 2)]
+    assert len(ident) == (n - 2) * (n - 3) // 2
+    assert (ident["n_bands"] == 2).all()
+    # sort_ready only changes partitioning, never rows
+    ranged = (
+        D.minhash_lsh_pairs(docs, k=4, bands=2, hot_bucket_rows=16, sort_ready=True)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ranged, plain)
+
+
 def test_simhash_pairs(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     docs = spark.createDataFrame(
