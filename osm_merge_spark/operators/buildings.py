@@ -65,6 +65,16 @@ def overlap_join(
 
     aa = bucketed(a.select(a_id, "min_lon", "min_lat", "max_lon", "max_lat"), "a_")
     bb = bucketed(b.select(b_id, "min_lon", "min_lat", "max_lon", "max_lat"), "b_")
+    # r6 (guide §2.5/§3.1): the bucketed sides are small in BYTES (id + 4
+    # doubles + bucket) while the join output is the quadratic pair space, so
+    # the planner broadcast one side and streamed the other through its scan
+    # partitioning — the whole pair refine ran as one task on a single-file
+    # input.  An explicit repartition on the bucket keys (exempt from AQE
+    # byte-based coalescing) + shuffled-hash join spreads the pair work over
+    # the session's shuffle width; neither side broadcasts at 100 TB anyway.
+    n_parts = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    aa = aa.repartition(n_parts, "bx", "by").hint("shuffle_hash")
+    bb = bb.repartition(n_parts, "bx", "by").hint("shuffle_hash")
     j = aa.join(bb, ["bx", "by"]).filter(
         (F.col("bx") == F.floor(F.greatest(F.col("a_min_lon"), F.col("b_min_lon")) / bucket_deg).cast("long"))
         & (F.col("by") == F.floor(F.greatest(F.col("a_min_lat"), F.col("b_min_lat")) / bucket_deg).cast("long"))

@@ -53,10 +53,21 @@ def cosine_topk_bruteforce(
     redo the O(dim) fold per pair — P·T times instead of P+T)."""
     p = probes.select(F.col(probe_id), F.col(vec_col).alias("p_vec")).withColumn("p_norm", norm(F.col("p_vec")))
     t = targets.select(F.col(target_id), F.col(vec_col).alias("t_vec")).withColumn("t_norm", norm(F.col("t_vec")))
+    # r6 (guide §2.5): the broadcast-nested-loop join streams the target side
+    # through its scan partitioning — a single-file target table made the
+    # whole P·T kernel run in one task.  A keyless round-robin repartition of
+    # the (tiny-in-bytes) target side spreads the quadratic work; the probe
+    # side stays the broadcast side.
+    n_parts = int(targets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    t = t.repartition(n_parts)
     j = p.crossJoin(t).filter(F.col(probe_id) != F.col(target_id))
     denom = F.col("p_norm") * F.col("t_norm")
     cs = F.when(denom == 0, F.lit(0.0)).otherwise(dot(F.col("p_vec"), F.col("t_vec")) / denom)
-    j = j.withColumn("cos_sim", F.round(cs, 6))
+    # decision columns only past this point (guide §2.3): the row_number
+    # window shuffles P·T rows — carrying the vectors through that exchange
+    # multiplied its bytes by ~the vector width for columns the ranking
+    # never reads
+    j = j.select(probe_id, target_id, F.round(cs, 6).alias("cos_sim"))
     w = Window.partitionBy(probe_id).orderBy(F.desc("cos_sim"), F.asc(target_id))
     return (
         j.withColumn("rank", F.row_number().over(w))

@@ -53,6 +53,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _nparts(spark: SparkSession) -> int:
+    """The session's shuffle width — used for explicit repartitions that must
+    not be AQE-coalesced by input BYTES when the per-row compute is heavy
+    (guide §2.5: AQE sizes partitions by bytes; expression-generated corpora
+    are narrow on disk but expensive per row, so byte-based coalescing
+    serializes the compute).  Scale-adaptive: follows the deployment's
+    configured shuffle parallelism, never a local constant."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
 # ---------------------------------------------------------------------------
 # Derived geo points (shared by several queries; SQL twin in _PT_SQL)
 # ---------------------------------------------------------------------------
@@ -258,9 +268,13 @@ def q_cell_histogram(spark, sf_dir):
     cy = F.floor(
         (1.0 - F.log(F.tan(F.radians(F.col("lat"))) + 1.0 / F.cos(F.radians(F.col("lat")))) / float(np.pi)) / 2.0 * n
     ).cast("long")
+    # one range exchange serves both the aggregation (range partitioning
+    # satisfies the groupBy's clustering) and the final sort (in-partition,
+    # no boundary-sampling re-execution of the aggregate)
     return (
         pts.withColumn("cx", cx)
         .withColumn("cy", cy)
+        .repartitionByRange(_nparts(spark), "cx", "cy")
         .groupBy("cx", "cy")
         .agg(F.count("*").alias("cnt"))
         .orderBy("cx", "cy")
@@ -470,8 +484,12 @@ def q_building_new_antijoin(spark, sf_dir):
 def q_tile_assign(spark, sf_dir):
     """J9: point→task-grid routing through the engine tiling operator
     (`tm_splitter.py:377-395` semantics)."""
+    # range-partition the point table by the sort key up front: the tile
+    # arithmetic runs at shuffle width and the final orderBy needs no second
+    # exchange (filter/project preserve the range partitioning)
+    pts = customer_points(spark, sf_dir).repartitionByRange(_nparts(spark), "c_custkey")
     return (
-        TL.assign_points_to_tiles(customer_points(spark, sf_dir), -109.0, 37.0, -104.0, 40.5, tile_m=10_000.0)
+        TL.assign_points_to_tiles(pts, -109.0, 37.0, -104.0, 40.5, tile_m=10_000.0)
         .select("c_custkey", "tile_id")
         .orderBy("c_custkey")
     )
@@ -919,7 +937,12 @@ def q_text_stats(spark, sf_dir):
     the per-language votes once each, and the argmax/quality math runs over
     cheap scalar columns — the same expression composition order as
     TX.detect_lang / TX.quality_score, so every double is bit-identical."""
-    d = _t(spark, sf_dir, "documents")
+    # range-partition the raw scan by the final sort key BEFORE the heavy
+    # token expressions: the exchange's boundary sampling then evaluates only
+    # the parquet scan, the per-row tokenization runs at full shuffle width
+    # (a single-file scan otherwise serializes it), and the final orderBy is
+    # an in-partition sort with no second exchange
+    d = _t(spark, sf_dir, "documents").repartitionByRange(_nparts(spark), "doc_id")
     t1 = d.select("doc_id", "text", TX.tokens(F.col("text")).alias("__toks"))
     toks = F.col("__toks")
 
@@ -994,7 +1017,14 @@ def q_cosine_topk(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return S.cosine_topk_bruteforce(probes, emb, k=3).orderBy("probe_id", "rank")
+    # k·|probes| rows is a bounded-tiny result: one-partition it so the final
+    # sort needs no range exchange (whose boundary sampling re-executed the
+    # whole crossJoin+window pipeline a second time)
+    return (
+        S.cosine_topk_bruteforce(probes, emb, k=3)
+        .repartition(1)
+        .orderBy("probe_id", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1170,7 +1200,14 @@ def q_span_signature(spark, sf_dir):
     spans_to_features → features_to_spans → signature.  The oracle builds
     the expected (kind, text, media_ref, order) signature directly from the
     generator arithmetic — any reorder/corruption in the codec breaks it."""
-    docs = synth.documents_spans(spark, sf_dir)
+    # range-partition the generated table by the sort key before the span
+    # codec: the codec + signature concat run at full shuffle width instead
+    # of the generator's partitioning, and the final orderBy is an
+    # in-partition sort (no second exchange re-executing the codec for
+    # boundary sampling)
+    docs = synth.documents_spans(spark, sf_dir).repartitionByRange(
+        _nparts(spark), "doc_id"
+    )
     out = SP.features_to_spans(SP.spans_to_features(docs))
     return out.select("doc_id", SP.span_signature("spans").alias("sig")).orderBy("doc_id")
 
