@@ -158,8 +158,18 @@ def minhash_signature_from_hashes(hs: Column, k: int = 8) -> Column:
 
 def simhash16(text: Column | str) -> Column:
     """16-bit SimHash from token hashes: bit b set iff sum over tokens of
-    (((h>>b)&1)*2-1) > 0.  Kept to 16 bits so the oracle SQL stays readable."""
-    hs = token_hashes(text)
+    (((h>>b)&1)*2-1) > 0.  Kept to 16 bits so the oracle SQL stays readable.
+
+    NOTE (r6, guide §2.3): this single-expression form inlines the per-char
+    token-hash fold into all 16 bit aggregates (Catalyst does not CSE lambda
+    HOFs) — 16× the fold per row.  Hot paths should project
+    :func:`token_hashes` once and use :func:`simhash16_from_hashes`."""
+    return simhash16_from_hashes(token_hashes(text))
+
+
+def simhash16_from_hashes(hs: Column) -> Column:
+    """:func:`simhash16` over a precomputed token-hash array column
+    (bit-identical output, fold evaluated once by the caller's projection)."""
 
     def voter(b: int):
         return lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1

@@ -305,21 +305,49 @@ def candidate_pairs(
         # cover pass (UDF + explode) over the secondary side.  Salting is
         # pure partitioning — any density estimate yields identical results,
         # and the residual skew a proxy misses is AQE skew-join's job.
+        # The map is a tiny top-K aggregate collected to the driver and
+        # inlined as literal expressions (the repo's salt-map pattern): the
+        # broadcast-join formulation cost three extra serially-materialized
+        # AQE stages (short-circuit count, broadcast build, left join) per
+        # conflation — pure latency on every probe run.  The top-K cap
+        # bounds driver memory at any corpus size; cells beyond the cap
+        # stay unsalted (identical results, AQE skew-join mops up).
         proxy = secondary.select(
             grid.cell_id_col(
                 F.element_at("geom", 1), F.element_at("geom", 2), zoom
             ).alias("cell")
         )
-        counts = proxy.groupBy("cell").agg(F.count("*").alias("cnt"))
-        salts = salt_factors(counts, hot_threshold=salt_hot_threshold)
-        # short-circuit: when the frequency pre-pass finds no hot cells the
-        # salt machinery (broadcast left-join + per-row sequence explode +
-        # the wider (cell, salt) shuffle key) is pure overhead — the salts
-        # table is tiny by construction, so this check is one cheap job
-        if salts.limit(1).count() == 0:
+        hot = (
+            proxy.groupBy("cell")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > salt_hot_threshold)
+            .orderBy(F.desc("cnt"), "cell")
+            .limit(4096)
+            .collect()
+        )
+        if not hot:
             joined = cell_join(p, s, "cell")
         else:
-            s2, p2 = apply_salt(s, p, salts, big_key="way_id")
+            entries: list = []
+            for r in hot:
+                n = min(-(-r["cnt"] // salt_hot_threshold), 16)
+                entries += [F.lit(r["cell"]), F.lit(int(n))]
+            salt_map = F.create_map(*entries)
+            s2 = s.withColumn(
+                "salt",
+                F.coalesce(
+                    F.pmod(F.hash(F.col("way_id")), F.element_at(salt_map, F.col("cell"))),
+                    F.lit(0),
+                ),
+            )
+            p2 = p.withColumn(
+                "salt",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.coalesce(F.element_at(salt_map, F.col("cell")), F.lit(1)) - 1
+                    )
+                ),
+            )
             joined = cell_join(p2, s2, ["cell", "salt"])
     else:
         joined = cell_join(p, s, "cell")
@@ -348,7 +376,22 @@ def candidate_pairs(
     )
     joined = joined.filter(gap_m <= threshold_m)
 
-    pairs = joined.select("ext_id", "way_id").dropDuplicates(["ext_id", "way_id"])
+    # One exchange serves both the pair dedupe and the first payload attach
+    # (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): partitioning by ext_id alone satisfies the dedupe's
+    # (ext_id, way_id) clustering — a subset key colocates every duplicate —
+    # and is exactly the distribution the p_payload join needs, so the
+    # previous plan's second full pair exchange disappears.  Map-side
+    # partial dedupe bought nothing here anyway: a pair's duplicate cells
+    # hash to different cell-join tasks, so almost no duplicates met inside
+    # one task.  Explicit width: the pair stream is narrow in bytes but
+    # quadratic-ish in rows, the case AQE's byte-based coalescing missizes.
+    n_parts = int(primary.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pairs = (
+        joined.select("ext_id", "way_id")
+        .repartition(n_parts, "ext_id")
+        .dropDuplicates(["ext_id", "way_id"])
+    )
     if PAYLOAD_JOIN_SHJ:
         p_payload = p_payload.hint("shuffle_hash")
         s_payload = s_payload.hint("shuffle_hash")

@@ -197,7 +197,11 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     """doc → 16-bit simhash + its two 8-bit half-buckets (any pair within
     hamming distance ≤ ~1 per half shares at least one half exactly —
     the classic simhash block strategy)."""
-    s = docs.select(F.col(id_col), TX.simhash16(F.col(text_col)).alias("simhash"))
+    # projection barrier: the per-char token-hash fold runs once per row, not
+    # once per bit aggregate (guide §2.3; Catalyst does not CSE lambda HOFs)
+    s = docs.select(
+        F.col(id_col), TX.token_hashes(F.col(text_col)).alias("__hs")
+    ).select(F.col(id_col), TX.simhash16_from_hashes(F.col("__hs")).alias("simhash"))
     return s.select(
         id_col,
         "simhash",
@@ -227,7 +231,28 @@ def simhash64_pairs(
     classic block strategy), so candidates come from four narrow equi-joins
     on 16-bit keys — never an all-pairs scan.  This is the scale path; the
     16-bit `simhash_pairs` stays as the readable-oracle variant."""
-    s = docs.select(F.col(id_col), TX.simhash64_blocks(F.col(text_col)).alias("blk"))
+    # two projection barriers (guide §2.3): tokens once per row, then the four
+    # per-block hash families once each — the single-expression form re-ran
+    # the per-char fold inside every one of the 64 bit aggregates
+    toks = docs.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    hashed = toks.select(
+        F.col(id_col),
+        *[
+            F.transform(
+                F.col("__toks"), (lambda m: lambda tok: TX.string_poly_hash(tok, m))(mult)
+            ).alias(f"__hs{bi}")
+            for bi, mult in enumerate(TX.SIMHASH64_MULTS)
+        ],
+    )
+    s = hashed.select(
+        F.col(id_col),
+        F.array(
+            *[
+                TX.simhash16_from_hashes(F.col(f"__hs{bi}"))
+                for bi in range(len(TX.SIMHASH64_MULTS))
+            ]
+        ).alias("blk"),
+    )
     banded = s.select(
         id_col,
         "blk",

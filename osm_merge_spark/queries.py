@@ -743,7 +743,12 @@ _SIMHASH_SQL_BITS = " + ".join(
 def q_simhash(spark, sf_dir):
     """16-bit SimHash fingerprints (near-dup hashing)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.simhash16(F.col("text")).alias("simhash")).orderBy("doc_id")
+    # projection barrier: fold once per row, not once per bit aggregate
+    return (
+        d.select("doc_id", TX.token_hashes(F.col("text")).alias("__hs"))
+        .select("doc_id", TX.simhash16_from_hashes(F.col("__hs")).alias("simhash"))
+        .orderBy("doc_id")
+    )
 
 
 @register(
