@@ -226,6 +226,19 @@ def build_way_geometries(osm: DataFrame) -> DataFrame:
     return ways.join(geom, "osm_id").select("osm_id", "version", "tags", "geom")
 
 
+def _xml_escape(col):
+    """``html.escape`` parity (the reference escapes both keys and values —
+    `osmfile.py:395-397,456-458`): ``&`` must be replaced first, then
+    ``< > " '`` (html.escape's quote=True set).  The previous version escaped
+    only ``"`` in values, so any tag containing ``&``/``<``/``>`` emitted
+    invalid XML."""
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    out = F.regexp_replace(out, '"', "&quot;")
+    return F.regexp_replace(out, "'", "&#x27;")
+
+
 def to_osm_xml(df: DataFrame, id_col: str = "osm_id", kind: str = "way", modify: bool = True) -> DataFrame:
     """K2 formatting stage: one OSM XML element string per row, with the
     reference's attribute/tag split, ``action='modify'`` and version+1
@@ -235,9 +248,9 @@ def to_osm_xml(df: DataFrame, id_col: str = "osm_id", kind: str = "way", modify:
             F.map_entries(F.col("tags")),
             lambda e: F.concat(
                 F.lit('  <tag k="'),
-                e["key"],
+                _xml_escape(e["key"]),
                 F.lit('" v="'),
-                F.regexp_replace(e["value"], '"', "&quot;"),
+                _xml_escape(e["value"]),
                 F.lit('"/>'),
             ),
         ),

@@ -116,6 +116,28 @@ def test_osm_xml_sink(spark, tmpdir):
     assert xml.startswith("<way") and xml.endswith("</way>")
 
 
+def test_osm_xml_sink_escapes_adversarial_tags(spark):
+    """K2 escaping parity with the reference's html.escape on both keys and
+    values (`osmfile.py:395-397`): tags containing & < > \" ' must round-trip
+    through a strict XML parser (VERDICT r5 'What's wrong' #1)."""
+    import xml.etree.ElementTree as ET
+
+    nasty = {
+        "name": 'Smith & Sons "East" Rd',
+        "note<weird>": "a<b>&c",
+        "apos": "it's",
+        "amp;trick": "&amp; already escaped stays literal",
+    }
+    df = spark.createDataFrame(
+        [(1, 2, nasty, [101, 102])],
+        "osm_id bigint, version bigint, tags map<string,string>, refs array<bigint>",
+    )
+    xml = FL.to_osm_xml(df, kind="way", modify=True).collect()[0]["xml"]
+    elem = ET.fromstring(xml)  # raises on any unescaped & < > in attributes
+    parsed = {t.get("k"): t.get("v") for t in elem.findall("tag")}
+    assert parsed == nasty  # parser unescaping inverts the sink's escaping
+
+
 def test_geojson_chunked_reader(spark, tmpdir):
     """S2: ndjson chunked scan — deterministic ids, chunk column, and
     resumable chunked processing via the lineage checkpoint (K7)."""
