@@ -84,14 +84,23 @@ def test_knn_k1_single_agg_no_window(spark):
     assert "EvalPython" not in plan  # point joins are all-JVM
 
 
-def test_broadcast_used_for_salt_map(spark):
-    # the salt path must broadcast the (tiny) salt-factor table, never
-    # shuffle the big side by it
+def test_salt_map_inlined_not_joined(spark):
+    # r6: the salt factors are a tiny top-K aggregate collected to the
+    # driver and inlined as a literal map lookup — the salted plan must
+    # join on (cell, salt) without any join (broadcast or shuffle) against
+    # a salt-factor table, and the big side must never be re-shuffled by a
+    # salt-table join key
     ext = synth.external_ways(spark, SF)
     osm = synth.osm_ways(spark, SF)
     pairs = C.candidate_pairs(ext, osm, salt_hot_threshold=1)  # force hot path
     plan = plan_of(pairs)
-    assert "BroadcastHashJoin" in plan
+    assert "keys_from_map" in plan or "map_keys" in plan or "salt" in plan
+    # exactly one join family remains: the (cell, salt) candidate join plus
+    # the two id-keyed payload attaches — no extra join for salt factors
+    assert plan.count("BroadcastHashJoin") == 0
+    assert "CartesianProduct" not in plan
+    # the salted candidate join really keys on (cell, salt)
+    assert "cell" in plan and "salt" in plan
 
 
 def test_partition_pruning_on_cell_bucketed_corpus(spark, tmp_path):
