@@ -217,6 +217,31 @@ def simhash64_blocks(text: Column | str) -> Column:
     return F.array(*blocks)
 
 
+def gram_codes(grams: Column) -> Column:
+    """Exact int64 encoding of ≤3-char grams: code = ((c1+1)·2^21 + (c2+1))
+    ·2^21 + (c3+1), missing chars → 0.  Codepoints are < 0x110000 < 2^21−1,
+    so the value is < 2^63 (fits signed int64) and the map is a bijection —
+    distinct grams ↔ distinct codes for ANY unicode input, so set
+    intersection/union SIZES over the codes equal those over the strings.
+
+    Purpose (r6, guide §2.3): jaccard pair pipelines carry both gram arrays
+    through the pair exchanges; 8-byte longs cut those bytes ~4× vs ~20-byte
+    string elements and make per-pair intersects long-equality instead of
+    string hashing."""
+
+    def enc(g: Column, i: int) -> Column:
+        return (
+            F.when(F.length(g) >= i, F.ascii(F.substring(g, i, 1)) + 1)
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+
+    two21 = F.lit(2_097_152).cast("bigint")
+    return F.transform(
+        grams, lambda g: (enc(g, 1) * two21 + enc(g, 2)) * two21 + enc(g, 3)
+    )
+
+
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct character n-gram array (shingles) — JVM-side via sequence+substr."""
     t = F.col(text) if isinstance(text, str) else text

@@ -773,23 +773,75 @@ def q_simhash(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     """Char-3-gram Jaccard near-dups within length buckets; all-integer
     output (intersection/union sizes; threshold inter*2 >= union ⇔ J >= 0.5)
-    so parity is exact."""
+    so parity is exact.
+
+    r6 (guide §2.5): a homogeneous corpus puts nearly every doc in one
+    length bucket, so the plain lb self-join ran its whole quadratic
+    intersect space — with both ~kB gram arrays attached — inside ONE task
+    (AQE coalesces by input bytes and cannot see quadratic output).  Hot
+    length buckets are triangle-decomposed into deterministic sub-blocks
+    (the operators/dedup.py:minhash_lsh_pairs pattern): every unordered
+    pair lands in exactly one i ≤ j block task, diagonal tasks keep
+    a < b, off-diagonal tasks canonicalize with least/greatest (the sizes
+    are symmetric), and the join inputs are explicitly repartitioned on the
+    block keys.  Output bit-identical; the operator-level production path
+    for this family remains ngram_jaccard_pairs_gated."""
     d = _t(spark, sf_dir, "documents")
+    # int64 gram codes (TX.gram_codes: exact bijection) — the pair exchanges
+    # carry long arrays instead of string arrays, and |A∪B| = |A|+|B|−|A∩B|
+    # replaces the second per-pair array op (arrays are distinct)
     g = d.select(
         "doc_id",
-        TX.char_ngrams(F.col("text"), 3).alias("grams"),
+        TX.gram_codes(TX.char_ngrams(F.col("text"), 3)).alias("grams"),
         F.floor(F.length("text") / 256).cast("long").alias("lb"),
+    ).persist()
+    hot = (
+        g.groupBy("lb")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 128)
+        .orderBy(F.desc("cnt"), "lb")
+        .limit(4096)
+        .collect()
     )
-    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"), "lb")
-    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"), "lb")
-    pairs = a.join(b, "lb").filter(F.col("id_a") < F.col("id_b"))
+    if hot:
+        entries: list = []
+        for r in hot:
+            entries += [F.lit(r["lb"]), F.lit(int(min(-(-r["cnt"] // 128), 64)))]
+        nb_expr = F.coalesce(
+            F.element_at(F.create_map(*entries), F.col("lb")), F.lit(1)
+        )
+    else:
+        nb_expr = F.lit(1)
+    gb = g.withColumn("nb", nb_expr).withColumn(
+        "blk", F.pmod(F.xxhash64("doc_id"), F.col("nb")).cast("int")
+    )
+    a = gb.withColumn("j", F.explode(F.sequence(F.col("blk"), F.col("nb") - 1))).select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a"), "lb",
+        F.col("blk").alias("i"), "j",
+    )
+    b = gb.withColumn("i", F.explode(F.sequence(F.lit(0), F.col("blk")))).select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"), "lb",
+        "i", F.col("blk").alias("j"),
+    )
+    n = _nparts(spark)
+    pairs = (
+        a.repartition(n, "lb", "i", "j")
+        .hint("shuffle_hash")
+        .join(b.repartition(n, "lb", "i", "j").hint("shuffle_hash"), ["lb", "i", "j"])
+        .filter((F.col("i") != F.col("j")) | (F.col("id_a") < F.col("id_b")))
+    )
     inter = F.size(F.array_intersect("g_a", "g_b"))
-    union = F.size(F.array_union("g_a", "g_b"))
-    return (
-        pairs.select("id_a", "id_b", inter.alias("inter_size"), union.alias("union_size"))
-        .filter(F.col("inter_size") * 2 >= F.col("union_size"))
-        .orderBy("id_a", "id_b")
-    )
+    union = F.size("g_a") + F.size("g_b") - inter
+    out = pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        inter.alias("inter_size"),
+        union.alias("union_size"),
+    ).filter(F.col("inter_size") * 2 >= F.col("union_size"))
+    # materialization barrier (slim int rows): the sort's range-exchange
+    # boundary sampling would otherwise re-execute the whole quadratic
+    # intersect pipeline a second time
+    return out.localCheckpoint().orderBy("id_a", "id_b")
 
 
 def _simhash64_sql() -> str:
@@ -877,18 +929,36 @@ def q_ngram_jaccard_gated(spark, sf_dir):
     integer sizes so parity is exact."""
     d = _t(spark, sf_dir, "documents")
     cand = D.minhash_lsh_pairs(d, k=4, bands=2).select("id_a", "id_b")
-    g = d.select("doc_id", TX.char_ngrams(F.col("text"), 3).alias("grams"))
+    # int64 gram codes (TX.gram_codes): long arrays through the pair
+    # exchanges instead of string arrays — same set sizes by bijection
+    g = d.select(
+        "doc_id", TX.gram_codes(TX.char_ngrams(F.col("text"), 3)).alias("grams")
+    ).persist()
+    # r6 (guide §3.2, size form): J >= 1/2 ⇔ 3·inter >= n_a+n_b and
+    # inter <= min(n_a, n_b), so 2·min >= max is a NECESSARY condition —
+    # attach the (int) gram counts first and drop definitely-failing pairs
+    # BEFORE the ~kB gram arrays ride the pair exchanges.  With the arrays
+    # distinct (char_ngrams applies array_distinct), |A∪B| = n_a + n_b −
+    # |A∩B| exactly, so the array_union evaluation per pair is replaced by
+    # arithmetic.  Output bit-identical to the unfiltered form.
+    sizes = g.select("doc_id", F.size("grams").alias("n"))
+    cand = (
+        cand.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .filter(F.least("n_a", "n_b") * 2 >= F.greatest("n_a", "n_b"))
+    )
     pairs = (
         cand.join(g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a")), "id_a")
         .join(g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b")), "id_b")
     )
     inter = F.size(F.array_intersect("g_a", "g_b"))
-    union = F.size(F.array_union("g_a", "g_b"))
-    return (
-        pairs.select("id_a", "id_b", inter.alias("inter_size"), union.alias("union_size"))
-        .filter(F.col("inter_size") * 2 >= F.col("union_size"))
-        .orderBy("id_a", "id_b")
-    )
+    union = F.col("n_a") + F.col("n_b") - inter
+    out = pairs.select(
+        "id_a", "id_b", inter.alias("inter_size"), union.alias("union_size")
+    ).filter(F.col("inter_size") * 2 >= F.col("union_size"))
+    # materialization barrier (see q_ngram_jaccard): one execution of the
+    # per-pair intersects; the sort samples the checkpointed slim rows
+    return out.localCheckpoint().orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

@@ -135,3 +135,35 @@ def test_drop_degenerate_keep_points(spark):
     pts = {r["id"] for r in GEO.drop_degenerate(df, keep_points=True).collect()}
     assert lines == {1}
     assert pts == {1, 2}
+
+
+def test_gram_codes_exact_bijection(spark):
+    """TX.gram_codes must be a bijection on <=3-char grams for any unicode
+    input: per-doc distinct counts AND pairwise intersection sizes over the
+    codes equal those over the original gram strings (the r6 jaccard
+    pipelines rely on this for bit-identical inter/union sizes)."""
+    texts = [
+        "the quick brown fox",
+        "th",  # shorter than one gram
+        "",
+        "naïve café déjà vu ünïcödé",
+        "混合 unicode 文字列 with ascii",
+        "aaabaaacaaab",  # repeated grams exercise distinctness
+        "x\ty\nz space  runs",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    out = df.select(
+        "id",
+        TX.char_ngrams(F.col("text"), 3).alias("grams"),
+        TX.gram_codes(TX.char_ngrams(F.col("text"), 3)).alias("codes"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    for r in out:
+        assert len(set(r["grams"])) == len(set(r["codes"])), r["id"]
+        assert len(r["grams"]) == len(r["codes"])
+    # pairwise set sizes agree between the string and code domains
+    for a in out:
+        for b in out:
+            gi = len(set(a["grams"]) & set(b["grams"]))
+            ci = len(set(a["codes"]) & set(b["codes"]))
+            assert gi == ci, (a["id"], b["id"])
