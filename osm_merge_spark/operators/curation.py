@@ -232,8 +232,15 @@ def decontaminate(
     benchmark — the join degrades to a hash-key shuffle, still never
     quadratic.  Per-doc rollup is one map-side-partial groupBy.
     """
+    # projection barrier + persist (r6, guide §2.3): the shingle fold is a
+    # per-character HOF chain; referencing it from both the size and the
+    # value, from both consumers below, evaluated it up to 4x per row
     sh = TX.token_shingle_hashes(F.col(text_col), n)
-    doc_sh = docs.select(F.col(id_col), F.size(sh).alias("n_shingles"), sh.alias("_sh"))
+    doc_sh = (
+        docs.select(F.col(id_col), sh.alias("_sh"))
+        .select(F.col(id_col), F.size("_sh").alias("n_shingles"), F.col("_sh"))
+        .persist()
+    )
     bench = benchmark.select(F.explode(TX.token_shingle_hashes(F.col(text_col), n)).alias("h")).distinct()
     if broadcast_benchmark:
         bench = F.broadcast(bench)

@@ -260,11 +260,59 @@ def simhash64_pairs(
             F.array(*[F.struct(F.lit(i).alias("band"), F.element_at("blk", i + 1).alias("bucket")) for i in range(4)])
         ).alias("bb"),
     ).select(id_col, "blk", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("blk").alias("blk_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("blk").alias("blk_b"), "band", "bucket")
+    # hot-bucket triangle decomposition (the minhash_lsh_pairs pattern):
+    # near-identical corpora put most docs in one band bucket, and the plain
+    # self-join then emits the whole quadratic pair space from one task
+    # (AQE sizes partitions by input bytes and cannot see quadratic output).
+    # hamming(a, b) is symmetric, so the off-diagonal least/greatest
+    # canonicalization leaves the output unchanged.
+    banded = banded.persist()
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 256)
+        .orderBy(F.desc("cnt"), "band", "bucket")
+        .limit(4096)
+        .collect()
+    )
+    if hot:
+        entries: list = []
+        for r in hot:
+            entries += [F.lit(f"{r['band']}:{r['bucket']}"), F.lit(int(min(-(-r["cnt"] // 256), 64)))]
+        nb_expr = F.coalesce(
+            F.element_at(
+                F.create_map(*entries), F.concat_ws(":", F.col("band"), F.col("bucket"))
+            ),
+            F.lit(1),
+        )
+    else:
+        nb_expr = F.lit(1)
+    b2 = banded.withColumn("nb", nb_expr).withColumn(
+        "sb", F.pmod(F.xxhash64(F.col(id_col)), F.col("nb")).cast("int")
+    )
+    a = b2.withColumn("j", F.explode(F.sequence(F.col("sb"), F.col("nb") - 1))).select(
+        F.col(id_col).alias("id_a"), F.col("blk").alias("blk_a"), "band", "bucket",
+        F.col("sb").alias("i"), "j",
+    )
+    b = b2.withColumn("i", F.explode(F.sequence(F.lit(0), F.col("sb")))).select(
+        F.col(id_col).alias("id_b"), F.col("blk").alias("blk_b"), "band", "bucket",
+        "i", F.col("sb").alias("j"),
+    )
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.repartition(n_parts, "band", "bucket", "i", "j")
+        .hint("shuffle_hash")
+        .join(
+            b.repartition(n_parts, "band", "bucket", "i", "j").hint("shuffle_hash"),
+            ["band", "bucket", "i", "j"],
+        )
+        .filter((F.col("i") != F.col("j")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "blk_a",
+            "blk_b",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = sum(

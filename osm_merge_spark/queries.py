@@ -546,12 +546,22 @@ def q_fuzzy_match(spark, sf_dir):
     (`conflator.py:745-756` threshold pattern, block-join shape)."""
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
-    j = c.join(s, c.c_nationkey == s.s_nationkey)
+    # range-partition the joined pair stream by the sort keys BEFORE the
+    # levenshtein: the broadcast join otherwise inherits the single-file
+    # customer scan partitioning (every pair scored in one task), and the
+    # sort's boundary sampling re-ran the scoring.  The ratio is projected
+    # once and the filter reads the column — the filter-then-project form
+    # evaluated the levenshtein twice per pair (no CSE across operators).
+    j = (
+        c.join(s, c.c_nationkey == s.s_nationkey)
+        .select("c_custkey", "s_suppkey", "c_name", "s_name")
+        .repartitionByRange(_nparts(spark), "c_custkey", "s_suppkey")
+    )
     ratio = TG.fuzzy_ratio(F.col("c_name"), F.col("s_name"))
     return (
-        j.withColumn("ratio", F.round(ratio, 4))
-        .filter(ratio >= 55.0)
-        .select("c_custkey", "s_suppkey", "ratio")
+        j.withColumn("__r", ratio)
+        .filter(F.col("__r") >= 55.0)
+        .select("c_custkey", "s_suppkey", F.round("__r", 4).alias("ratio"))
         .orderBy("c_custkey", "s_suppkey")
     )
 
@@ -3732,7 +3742,10 @@ def q_decontaminate(spark, sf_dir):
     4-token-shingle-hash overlap with the benchmark slice (source = 'src0')
     — a broadcast semi-join on manufactured hash keys (curation.py:
     decontaminate), text never joined."""
-    d = _t(spark, sf_dir, "documents")
+    # range-partition the scan by the sort key: the shingle fold runs at
+    # shuffle width (single-file scan otherwise), the rollup's groupBy and
+    # the final orderBy both reuse the range partitioning (no exchanges)
+    d = _t(spark, sf_dir, "documents").repartitionByRange(_nparts(spark), "doc_id")
     return CU.decontaminate(
         d.filter(F.col("source") != "src0"),
         d.filter(F.col("source") == "src0"),
